@@ -1,0 +1,306 @@
+"""Configuration tree for the TPU-native parking framework.
+
+One typed, frozen dataclass tree replaces the reference's scattered config
+surface (reference: tool/config.py:7-111 flat ``Configuration`` of typed-None
+attributes, config/training.yaml, plus constants hardcoded in
+data_generation/world.py:241-317 (camera rig), data_generation/
+parking_position.py:30-102 (slot map), data_generation/data_generator.py:42-47
+and data_generation/network_evaluator.py:52-69 (success thresholds)).
+
+``load_config`` accepts the reference's YAML schema (a single ``parking_model:``
+block, reference config/training.yaml) so reference configs keep working.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Mapping, Sequence, Tuple
+
+# ---------------------------------------------------------------------------
+# Model
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Policy-network hyperparameters.
+
+    Field names/defaults mirror the reference's training.yaml so that configs
+    carry over verbatim (reference: config/training.yaml:18-52).
+    """
+
+    future_frame_nums: int = 4
+    hist_frame_nums: int = 10
+    token_nums: int = 204
+    image_crop: int = 256
+
+    # BEV encoder
+    bev_encoder_in_channel: int = 64
+    bev_encoder_out_channel: int = 258  # 256 + 2 ego-motion dims
+
+    # BEV / lift-splat grid (reference: config/training.yaml:26-33)
+    bev_x_bound: Tuple[float, float, float] = (-10.0, 10.0, 0.1)
+    bev_y_bound: Tuple[float, float, float] = (-10.0, 10.0, 0.1)
+    bev_z_bound: Tuple[float, float, float] = (-10.0, 10.0, 20.0)
+    d_bound: Tuple[float, float, float] = (0.5, 12.5, 0.25)
+    final_dim: Tuple[int, int] = (256, 256)
+    bev_down_sample: int = 8
+    use_depth_distribution: bool = True
+    backbone: str = "efficientnet-b4"
+
+    # Segmentation
+    seg_classes: int = 3
+    seg_vehicle_weights: Tuple[float, ...] = (1.0, 2.0, 2.0)
+
+    # Transformer encoder (feature fusion)
+    tf_en_dim: int = 258
+    tf_en_heads: int = 6
+    tf_en_layers: int = 4
+    tf_en_dropout: float = 0.05
+    tf_en_bev_length: int = 256
+    tf_en_motion_length: int = 3
+    tf_en_ffn_dim: int = 2048  # torch nn.TransformerEncoderLayer default
+
+    # Transformer decoder (control prediction)
+    tf_de_dim: int = 258
+    tf_de_heads: int = 6
+    tf_de_layers: int = 4
+    tf_de_dropout: float = 0.05
+    tf_de_tgt_dim: int = 15
+    tf_de_ffn_dim: int = 2048
+
+    # TPU-specific knobs (no reference equivalent).
+    compute_dtype: str = "bfloat16"  # matmul/conv dtype; params stay float32
+    target_noise_px: float = 5.0  # +-px jitter on the target BEV stamp
+    # (reference: model/parking_model.py:36-37)
+
+    # ---- derived ----
+    @property
+    def bos_token(self) -> int:
+        # reference: dataset/carla_dataset.py:162-164
+        return self.token_nums - 3
+
+    @property
+    def eos_token(self) -> int:
+        return self.token_nums - 2
+
+    @property
+    def pad_token(self) -> int:
+        return self.token_nums - 1
+
+    @property
+    def valid_token(self) -> int:
+        return self.token_nums - 4
+
+    @property
+    def depth_channels(self) -> int:
+        lo, hi, step = self.d_bound
+        return int(round((hi - lo) / step))
+
+    @property
+    def bev_size(self) -> Tuple[int, int]:
+        nx = int(round((self.bev_x_bound[1] - self.bev_x_bound[0]) / self.bev_x_bound[2]))
+        ny = int(round((self.bev_y_bound[1] - self.bev_y_bound[0]) / self.bev_y_bound[2]))
+        return nx, ny
+
+    @property
+    def feat_hw(self) -> Tuple[int, int]:
+        return (self.final_dim[0] // self.bev_down_sample,
+                self.final_dim[1] // self.bev_down_sample)
+
+    @property
+    def tokens_per_frame(self) -> int:
+        return 3  # throttle/brake, steer, reverse
+
+    @property
+    def seq_len(self) -> int:
+        """BOS + future_frames*3 + EOS + PAD (reference tf_de_tgt_dim=15)."""
+        return self.tf_de_tgt_dim
+
+
+# ---------------------------------------------------------------------------
+# Simulator
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """On-device parking-simulator parameters.
+
+    The reference runs CARLA 0.9.11 in synchronous mode at 30 FPS
+    (data_generation/world.py:33-38) with a Tesla Model 3 ego
+    (world.py:129-143). Our simulator is a kinematic bicycle with a simple
+    longitudinal model; constants approximate the CARLA Model 3.
+    """
+
+    fps: int = 30
+    policy_every: int = 3  # policy/data rate = fps/policy_every = 10 Hz
+    # (reference: agent/parking_agent.py:228, data_generator.py:35)
+
+    # Ego vehicle (Tesla Model 3-ish; CARLA bbox extents x=2.396, y=1.081)
+    wheelbase: float = 2.875
+    ego_half_length: float = 2.40
+    ego_half_width: float = 1.08
+    # rear-axle to bbox-center offset along +x (bicycle model integrates the
+    # rear axle; CARLA transforms are at the bbox center)
+    rear_axle_to_center: float = 1.34
+
+    max_steer_rad: float = 0.61  # ~35 deg max front-wheel angle
+    max_throttle_accel: float = 3.0  # m/s^2 at throttle=1
+    max_brake_decel: float = 8.0  # m/s^2 at brake=1
+    drag_coeff: float = 0.10  # quadratic drag (1/m)
+    rolling_decel: float = 0.25  # constant rolling resistance m/s^2
+    max_speed: float = 15.0  # hard clamp, m/s
+
+    # Static NPC vehicles (generic parked-car box)
+    npc_half_length: float = 2.35
+    npc_half_width: float = 1.05
+    max_static_vehicles: int = 64  # static shape; one per slot max
+
+    # Parking lot slot geometry for rendering/GT (5.5m x 3.1m slots match the
+    # reference's 55x31-px target stamp, dataset/carla_dataset.py:478-480)
+    slot_half_length: float = 2.75
+    slot_half_width: float = 1.55
+
+    # Data-generation success check (reference: data_generator.py:42-47)
+    gen_goal_dist: float = 0.5  # m
+    gen_goal_rot: float = 0.5  # deg
+    gen_goal_frames: int = 60  # 2 s * 30 Hz
+
+    # Camera rig output resolution (post-crop; the reference renders 400x300
+    # fov=100 then center-crops 256, world.py:241-246 +
+    # dataset/carla_dataset.py:47-63; we render the cropped frame directly)
+    cam_width: int = 256
+    cam_height: int = 256
+    cam_fov_full_width: int = 400  # the focal length is set by the un-cropped
+    cam_fov_deg: float = 100.0  # 400-px fov-100 camera
+
+    @property
+    def dt(self) -> float:
+        return 1.0 / self.fps
+
+    @property
+    def focal(self) -> float:
+        import math
+
+        return self.cam_fov_full_width / (2.0 * math.tan(math.radians(self.cam_fov_deg) / 2.0))
+
+
+# ---------------------------------------------------------------------------
+# Closed-loop evaluation
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    """Closed-loop protocol thresholds (reference: network_evaluator.py:52-69,
+    carla_parking_eva.py:104-117)."""
+
+    epochs: int = 4
+    task_nums: int = 16
+    parking_nums: int = 6
+
+    goal_reach_x_diff: float = 1.0  # m
+    goal_reach_y_diff: float = 0.6  # m
+    goal_reach_orientation_diff: float = 10.0  # deg
+
+    frames_in_goal_needed: int = 60  # 2 s
+    frames_nearby_goal_needed: int = 60  # 2 s
+    frames_outbound_needed: int = 300  # 10 s
+    frames_total_needed: int = 900  # 30 s timeout
+
+    # agent heuristics (reference: parking_agent.py:414-446)
+    fwd_speed_limit_kmh: float = 12.0
+    rev_speed_limit_kmh: float = 10.0
+    stall_seconds: float = 1.0
+    stall_boost_throttle: float = 0.3
+    settle_seconds: float = 1.0
+
+
+# ---------------------------------------------------------------------------
+# Training
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimizer / run settings (reference: config/training.yaml:2-16,
+    trainer/pl_trainer.py:116-121)."""
+
+    data_dir: str = "./e2e_parking/"
+    log_dir: str = "./log/"
+    checkpoint_dir: str = "./ckpt"
+    log_every_n_steps: int = 10
+    check_val_every_n_epoch: int = 5
+
+    epochs: int = 155
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-4
+    batch_size: int = 12
+
+    training_map: str = "Town04_Opt"
+    validation_map: str = "Town04_Opt_Val"
+
+    seed: int = 42
+    keep_top_k: int = 3  # top-k checkpoints by val_loss (pl_trainer.py:17-23)
+
+    # mesh axes: batch is sharded over 'data'; attention heads / mlp hidden
+    # over 'model' when model_axis > 1
+    data_axis: int = -1  # -1 = all devices
+    model_axis: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    sim: SimConfig = dataclasses.field(default_factory=SimConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+
+# ---------------------------------------------------------------------------
+# YAML interop with the reference schema
+# ---------------------------------------------------------------------------
+
+_MODEL_KEYS = {f.name for f in dataclasses.fields(ModelConfig)}
+_TRAIN_KEYS = {f.name for f in dataclasses.fields(TrainConfig)}
+
+
+def _coerce(value: Any) -> Any:
+    if isinstance(value, list):
+        return tuple(_coerce(v) for v in value)
+    return value
+
+
+def config_from_dict(raw: Mapping[str, Any]) -> Config:
+    """Build a Config from a flat dict in the reference's training.yaml schema
+    (the contents of its ``parking_model:`` block)."""
+    model_kwargs = {}
+    train_kwargs = {}
+    for key, value in raw.items():
+        value = _coerce(value)
+        if key == "use_depth_distribution":
+            value = bool(value)
+        if key in _MODEL_KEYS:
+            model_kwargs[key] = value
+        elif key in _TRAIN_KEYS:
+            train_kwargs[key] = value
+        # silently ignore unknown keys, mirroring get_cfg's copy-what-matches
+    return Config(model=ModelConfig(**model_kwargs), train=TrainConfig(**train_kwargs))
+
+
+def load_config(path: str) -> Config:
+    """Load a YAML config. Accepts both our nested schema and the reference's
+    ``parking_model:`` flat block (reference: tool/config.py:56-111)."""
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    if "parking_model" in raw:
+        return config_from_dict(raw["parking_model"])
+    flat: dict = {}
+    for section in ("model", "train"):
+        flat.update(raw.get(section, {}))
+    if not flat:
+        flat = raw
+    return config_from_dict(flat)
