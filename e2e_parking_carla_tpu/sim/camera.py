@@ -1,0 +1,278 @@
+"""Surround-view camera renderer: 4x RGB + depth + semantics from scene state.
+
+Replaces CARLA's UE4 sensor rendering (the reference spawns 4 RGB + 4 depth
+cameras at 400x300 fov-100 and center-crops to 256, data_generation/
+world.py:241-317 + dataset/carla_dataset.py:47-63). We render the cropped
+256x256 frame directly with the crop-adjusted intrinsics.
+
+Design (TPU-first):
+* Per-pixel ray directions in the VEHICLE frame are host-precomputed
+  constants (the rig is static); at runtime only a planar rotation by the
+  ego yaw is applied. Rays are scaled so the camera-forward component is 1,
+  making the ray parameter t equal CARLA's plane depth.
+* The static lot (asphalt + slot line markings) is baked once into a
+  world-frame ground texture; rendering samples it bilinearly — a gather,
+  no per-pixel geometry for the static world.
+* Parked vehicles are analytic boxes; a `lax.scan` over the 64 slots keeps a
+  running nearest-hit (t, slot id, face) without materializing a
+  pixels-by-boxes tensor. (ops/render.py provides a fused Pallas kernel for
+  the same math; this module is the readable reference implementation.)
+* Output: rgb float32 [0,1] (N,H,W,3), depth meters (N,H,W), semantic ids
+  (N,H,W) int32 (0 ground, 1 vehicle, 2 target-slot ground).
+
+Visual fidelity target is "sufficient for the policy", not UE4 parity
+(BASELINE.json north star); the red target marking mirrors the 'T' CARLA
+draws on the goal slot (world.py:479-519).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from e2e_parking_carla_tpu.config import SimConfig
+from e2e_parking_carla_tpu import geometry as geo
+from e2e_parking_carla_tpu.sim import scene as scene_lib
+from e2e_parking_carla_tpu.sim.env import SceneState
+
+SKY_DEPTH = 1000.0  # CARLA depth cameras saturate at 1 km
+VEHICLE_HALF_HEIGHT = 0.75
+CAM_NAMES = geo.CAM_ORDER
+
+# ground texture over the lot bounds, 0.1 m/texel
+TEX_RES = 0.1
+TEX_X0, TEX_X1 = scene_lib.X_MIN - 8.0, scene_lib.X_MAX + 8.0
+TEX_Y0, TEX_Y1 = scene_lib.Y_MIN - 8.0, scene_lib.Y_MAX + 8.0
+LINE_HALF_WIDTH = 0.08
+
+
+@functools.lru_cache(maxsize=4)
+def camera_rays(sim_cfg: SimConfig = SimConfig()):
+    """Host-side constants: per-pixel ray directions in the vehicle frame,
+    scaled to unit camera-forward component, plus camera origins.
+
+    Returns (dirs (N,H,W,3) f32, origins (N,3) f32).
+    """
+    H, W = sim_cfg.cam_height, sim_cfg.cam_width
+    f = sim_cfg.focal
+    cx, cy = W / 2.0, H / 2.0
+    u = (np.arange(W, dtype=np.float64) + 0.5 - cx) / f
+    v = (np.arange(H, dtype=np.float64) + 0.5 - cy) / f
+    # camera frame (x fwd, y right, z up): d = (1, u, -v)
+    d_cam = np.zeros((H, W, 3))
+    d_cam[..., 0] = 1.0
+    d_cam[..., 1] = u[None, :]
+    d_cam[..., 2] = -v[:, None]
+
+    dirs, origins = [], []
+    for name in CAM_NAMES:
+        spec = geo.CAM_RIG[name]
+        R = geo.rotation_matrix(spec["roll"], spec["pitch"], spec["yaw"])
+        dirs.append(np.einsum("ij,hwj->hwi", R, d_cam))
+        origins.append([spec["x"], spec["y"], spec["z"]])
+    return np.stack(dirs).astype(np.float32), np.array(origins, np.float32)
+
+
+@functools.lru_cache(maxsize=1)
+def ground_texture() -> np.ndarray:
+    """(TH, TW) float32 line-marking intensity over the lot, baked once.
+
+    White outlines around each slot rectangle, the same geometry the
+    reference's OpenDRIVE MapImage rasterizes (bev_render.py:686-843).
+    """
+    xs = np.arange(TEX_X0, TEX_X1, TEX_RES, dtype=np.float32) + TEX_RES / 2
+    ys = np.arange(TEX_Y0, TEX_Y1, TEX_RES, dtype=np.float32) + TEX_RES / 2
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    intensity = np.zeros_like(gx)
+    hl, hw = 2.75, 1.55  # slot rectangle half extents (slot axis = world x)
+    for sx, sy in scene_lib.SLOT_XY:
+        dx = np.abs(gx - sx)
+        dy = np.abs(gy - sy)
+        # distance to the rectangle outline (slot edges)
+        on_x_edge = (np.abs(dx - hl) < LINE_HALF_WIDTH) & (dy < hw + LINE_HALF_WIDTH)
+        on_y_edge = (np.abs(dy - hw) < LINE_HALF_WIDTH) & (dx < hl + LINE_HALF_WIDTH)
+        intensity = np.maximum(intensity, (on_x_edge | on_y_edge).astype(np.float32))
+    return intensity
+
+
+def _vehicle_palette() -> np.ndarray:
+    """(S, 3) deterministic car colors."""
+    rng = np.random.RandomState(1234)
+    base = np.array(
+        [[0.7, 0.7, 0.72], [0.1, 0.1, 0.12], [0.55, 0.06, 0.06],
+         [0.12, 0.2, 0.45], [0.8, 0.78, 0.75], [0.35, 0.35, 0.38],
+         [0.1, 0.3, 0.15], [0.6, 0.45, 0.15]],
+        np.float32,
+    )
+    idx = rng.randint(0, len(base), scene_lib.NUM_SLOTS)
+    jitter = rng.uniform(-0.05, 0.05, (scene_lib.NUM_SLOTS, 3)).astype(np.float32)
+    return np.clip(base[idx] + jitter, 0.0, 1.0)
+
+
+# weather presets: (brightness, sky RGB) — a coarse stand-in for the
+# reference's carla.WeatherParameters cycling (world.py:21-23,360-365)
+WEATHER_TABLE = np.array(
+    [
+        [1.00, 0.55, 0.70, 0.95],  # ClearNoon
+        [0.90, 0.60, 0.68, 0.85],  # CloudyNoon
+        [0.80, 0.55, 0.60, 0.70],  # WetNoon
+        [0.70, 0.50, 0.52, 0.58],  # WetCloudyNoon
+        [0.60, 0.45, 0.46, 0.50],  # MidRainyNoon
+        [0.55, 0.42, 0.42, 0.46],  # HardRainNoon
+        [0.75, 0.52, 0.56, 0.62],  # SoftRainNoon
+        [0.85, 0.80, 0.62, 0.55],  # ClearSunset
+        [0.75, 0.70, 0.58, 0.52],  # CloudySunset
+        [0.65, 0.60, 0.52, 0.48],  # WetSunset
+        [0.60, 0.55, 0.48, 0.45],  # WetCloudySunset
+        [0.50, 0.46, 0.42, 0.40],  # MidRainSunset
+        [0.45, 0.42, 0.38, 0.38],  # HardRainSunset
+        [0.65, 0.55, 0.48, 0.44],  # SoftRainSunset
+    ],
+    np.float32,
+)
+
+
+def _safe_div(a, b, eps=1e-8):
+    return a / jnp.where(jnp.abs(b) < eps, jnp.where(b >= 0, eps, -eps), b)
+
+
+def render_cameras(ego_x, ego_y, ego_yaw, scene: SceneState,
+                   sim_cfg: SimConfig, weather=0):
+    """Render the 4-camera surround rig for one env state.
+
+    Returns dict with 'rgb' (N,H,W,3) f32 in [0,1], 'depth' (N,H,W) f32
+    meters (camera-plane depth, CARLA convention), 'sem' (N,H,W) i32.
+    vmap over a batch of envs.
+    """
+    dirs_veh, origins_veh = camera_rays(sim_cfg)
+    dirs_veh = jnp.asarray(dirs_veh)
+    origins_veh = jnp.asarray(origins_veh)
+
+    # vehicle -> world: rotate by ego yaw about z, translate
+    c, s = jnp.cos(ego_yaw), jnp.sin(ego_yaw)
+    dx, dy, dz = dirs_veh[..., 0], dirs_veh[..., 1], dirs_veh[..., 2]
+    d_world = jnp.stack([dx * c - dy * s, dx * s + dy * c, dz], axis=-1)  # (N,H,W,3)
+    ox = origins_veh[:, 0] * c - origins_veh[:, 1] * s + ego_x
+    oy = origins_veh[:, 0] * s + origins_veh[:, 1] * c + ego_y
+    o_world = jnp.stack([ox, oy, origins_veh[:, 2]], axis=-1)  # (N,3)
+    o_world = o_world[:, None, None, :]  # (N,1,1,3)
+
+    # ---- ground plane ----
+    t_ground = _safe_div(-o_world[..., 2], d_world[..., 2])
+    ground_hit = (d_world[..., 2] < -1e-6) & (t_ground > 0)
+    t_ground = jnp.where(ground_hit, t_ground, SKY_DEPTH)
+
+    # ---- vehicle boxes: scan over slots keeping the nearest hit ----
+    slot_xy = jnp.asarray(scene_lib.SLOT_XY)
+    half = jnp.array(
+        [sim_cfg.npc_half_length, sim_cfg.npc_half_width, VEHICLE_HALF_HEIGHT],
+        jnp.float32,
+    )
+
+    def box_step(carry, inp):
+        t_best, id_best, face_best = carry
+        center_xy, yaw, valid, idx = inp
+        cb, sb = jnp.cos(yaw), jnp.sin(yaw)
+        # ray into the box frame (box center at z = half height)
+        rel = o_world - jnp.stack(
+            [center_xy[0], center_xy[1], jnp.float32(VEHICLE_HALF_HEIGHT)])
+        o_loc = jnp.stack(
+            [rel[..., 0] * cb + rel[..., 1] * sb,
+             -rel[..., 0] * sb + rel[..., 1] * cb,
+             rel[..., 2]], axis=-1)
+        d_loc = jnp.stack(
+            [d_world[..., 0] * cb + d_world[..., 1] * sb,
+             -d_world[..., 0] * sb + d_world[..., 1] * cb,
+             d_world[..., 2]], axis=-1)
+        inv_d = _safe_div(jnp.float32(1.0), d_loc)
+        t1 = (-half - o_loc) * inv_d
+        t2 = (half - o_loc) * inv_d
+        t_near = jnp.minimum(t1, t2)
+        t_far = jnp.maximum(t1, t2)
+        tmin = jnp.max(t_near, axis=-1)
+        tmax = jnp.min(t_far, axis=-1)
+        hit = valid & (tmax >= tmin) & (tmax > 0) & (tmin > 0) & (tmin < t_best)
+        face = jnp.argmax(t_near, axis=-1)  # which slab bounds entry
+        t_best = jnp.where(hit, tmin, t_best)
+        id_best = jnp.where(hit, idx, id_best)
+        face_best = jnp.where(hit, face, face_best)
+        return (t_best, id_best, face_best), None
+
+    N, H, W = d_world.shape[:3]
+    init = (
+        jnp.full((N, H, W), SKY_DEPTH, jnp.float32),
+        jnp.full((N, H, W), -1, jnp.int32),
+        jnp.zeros((N, H, W), jnp.int32),
+    )
+    (t_box, box_id, box_face), _ = jax.lax.scan(
+        box_step,
+        init,
+        (slot_xy, scene.npc_yaw, scene.npc_valid,
+         jnp.arange(scene_lib.NUM_SLOTS, dtype=jnp.int32)),
+    )
+
+    # ---- composite ----
+    box_in_front = t_box < t_ground
+    t_hit = jnp.where(box_in_front, t_box, t_ground)
+    is_sky = t_hit >= SKY_DEPTH
+
+    # ground shading: sample the line texture + target tint
+    pg = o_world[..., :2] + t_ground[..., None] * d_world[..., :2]  # (N,H,W,2)
+    tex = jnp.asarray(ground_texture())
+    u = (pg[..., 0] - TEX_X0) / TEX_RES - 0.5
+    v = (pg[..., 1] - TEX_Y0) / TEX_RES - 0.5
+    u = jnp.clip(u, 0.0, tex.shape[0] - 1.001)
+    v = jnp.clip(v, 0.0, tex.shape[1] - 1.001)
+    u0, v0 = jnp.floor(u).astype(jnp.int32), jnp.floor(v).astype(jnp.int32)
+    fu, fv = u - u0, v - v0
+    line = (
+        tex[u0, v0] * (1 - fu) * (1 - fv)
+        + tex[u0 + 1, v0] * fu * (1 - fv)
+        + tex[u0, v0 + 1] * (1 - fu) * fv
+        + tex[u0 + 1, v0 + 1] * fu * fv
+    )
+    # target slot tint (the red marking CARLA draws on the goal)
+    target_xy = slot_xy[scene.target_idx]
+    trel_x = pg[..., 0] - target_xy[0]
+    trel_y = pg[..., 1] - target_xy[1]
+    in_target = (jnp.abs(trel_x) <= sim_cfg.slot_half_length) & (
+        jnp.abs(trel_y) <= sim_cfg.slot_half_width)
+
+    asphalt = jnp.float32(0.32)
+    ground_gray = asphalt + 0.55 * line
+    ground_rgb = jnp.stack([ground_gray, ground_gray, ground_gray], axis=-1)
+    target_rgb = jnp.stack(
+        [ground_gray * 0.4 + 0.55, ground_gray * 0.4, ground_gray * 0.4], axis=-1)
+    ground_rgb = jnp.where(in_target[..., None], target_rgb, ground_rgb)
+
+    # vehicle shading: palette color x per-face lambert-ish factor
+    palette = jnp.asarray(_vehicle_palette())
+    veh_base = palette[jnp.clip(box_id, 0, None)]  # (N,H,W,3)
+    face_light = jnp.asarray([0.75, 0.9, 1.0], jnp.float32)  # x/y/z faces
+    veh_rgb = veh_base * face_light[box_face][..., None]
+
+    # sky: elevation gradient, weather tinted
+    weather_row = jnp.asarray(WEATHER_TABLE)[jnp.asarray(weather) % len(WEATHER_TABLE)]
+    brightness, sky_rgb = weather_row[0], weather_row[1:]
+    d_norm = d_world / jnp.linalg.norm(d_world, axis=-1, keepdims=True)
+    elev = jnp.clip(d_norm[..., 2], 0.0, 1.0)[..., None]
+    horizon = sky_rgb * 0.8 + 0.18
+    sky = horizon * (1 - elev) + sky_rgb * elev
+
+    rgb = jnp.where(
+        is_sky[..., None], sky,
+        jnp.where(box_in_front[..., None], veh_rgb, ground_rgb))
+    rgb = jnp.clip(rgb * brightness, 0.0, 1.0)
+
+    sem = jnp.where(
+        is_sky, 0,
+        jnp.where(box_in_front, 1, jnp.where(in_target, 2, 0)))
+
+    return {
+        "rgb": rgb,
+        "depth": jnp.clip(t_hit, 0.0, SKY_DEPTH),
+        "sem": sem.astype(jnp.int32),
+    }
