@@ -1,0 +1,99 @@
+"""Autoregressive control-token decoder.
+
+Mirrors the reference ControlPredict (model/control_predict.py:8-75): token
+embedding over the 204 vocab, learned positional embedding of length
+tf_de_tgt_dim-1 = 14, a 4-layer post-LN transformer decoder cross-attending
+to the fused BEV tokens, causal + PAD-key masking, and a linear head to
+vocab logits.
+
+Two paths:
+* `__call__` — teacher-forced training pass over the shifted target,
+* `decode` — greedy generation as a `lax.scan` over token positions. The
+  reference re-runs the full decoder per generated token under a Python loop
+  (parking_model.py:72-78); here the loop is traced, so closed-loop
+  evaluation jit-compiles into the same XLA program as the simulator. The
+  sequence is 15 tokens, so a KV cache buys nothing — each scan step runs
+  the full (padded, masked) decoder, exactly matching the training compute
+  pattern.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from e2e_parking_carla_tpu.config import ModelConfig
+from e2e_parking_carla_tpu.models.layers import TransformerDecoderLayer
+
+
+def causal_mask(L):
+    return jnp.tril(jnp.ones((L, L), bool))
+
+
+class ControlDecoder(nn.Module):
+    cfg: ModelConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        self.embedding = nn.Embed(cfg.token_nums, cfg.tf_de_dim, dtype=self.dtype)
+        self.pos_embed = self.param(
+            "pos_embed", nn.initializers.truncated_normal(0.02),
+            (1, cfg.tf_de_tgt_dim - 1, cfg.tf_de_dim))
+        self.layers = [
+            TransformerDecoderLayer(
+                dim=cfg.tf_de_dim, heads=cfg.tf_de_heads,
+                ffn_dim=cfg.tf_de_ffn_dim, dropout=cfg.tf_de_dropout,
+                dtype=self.dtype, name=f"layer_{i}")
+            for i in range(cfg.tf_de_layers)
+        ]
+        self.out = nn.Dense(cfg.token_nums, dtype=self.dtype)
+        self.dropout = nn.Dropout(cfg.tf_de_dropout)
+
+    def _run(self, tgt_tokens, memory, train: bool):
+        """tgt_tokens: (B, L) int32 (L = tf_de_tgt_dim - 1). Logits (B, L, V)."""
+        cfg = self.cfg
+        B, L = tgt_tokens.shape
+        h = self.embedding(tgt_tokens) + self.pos_embed[:, :L]
+        h = self.dropout(h, deterministic=not train)
+
+        # self-attn mask: causal AND keys not PAD
+        not_pad = tgt_tokens != cfg.pad_token  # (B, L)
+        mask = causal_mask(L)[None, None] & not_pad[:, None, None, :]
+        for layer in self.layers:
+            h = layer(h, memory, train=train, self_mask=mask)
+        return self.out(h)
+
+    def __call__(self, memory, gt_sequence, train: bool = False):
+        """Teacher-forced pass: gt_sequence (B, tf_de_tgt_dim) including BOS
+        ... EOS PAD; predicts positions 1..L (reference
+        control_predict.py:49-58)."""
+        return self._run(gt_sequence[:, :-1], memory, train)
+
+    def decode(self, memory, prefix, n_new: int):
+        """Greedy decode: append `n_new` argmax tokens to `prefix` (B, L0).
+
+        Matches ControlPredict.predict (control_predict.py:60-75): the tail
+        is PAD-filled to length 14, the logit at the last real position is
+        argmax'd. Returns (B, L0 + n_new) tokens.
+        """
+        cfg = self.cfg
+        B, L0 = prefix.shape
+        L = cfg.tf_de_tgt_dim - 1
+        tokens = jnp.concatenate(
+            [prefix, jnp.full((B, L - L0), cfg.pad_token, jnp.int32)], axis=1)
+
+        def step(tokens, i):
+            logits = self._run(tokens, memory, train=False)  # (B, L, V)
+            pos = L0 + i - 1  # logit at the last real position
+            nxt = jnp.argmax(
+                jax.lax.dynamic_index_in_dim(logits, pos, axis=1, keepdims=False),
+                axis=-1).astype(jnp.int32)
+            tokens = jax.lax.dynamic_update_index_in_dim(tokens, nxt, L0 + i, axis=1)
+            return tokens, nxt
+
+        # positions are traced constants per unrolled scan step; use a scan
+        # over a static-length index array
+        tokens, _ = jax.lax.scan(step, tokens, jnp.arange(n_new))
+        return tokens[:, : L0 + n_new]
