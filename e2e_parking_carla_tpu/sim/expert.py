@@ -44,10 +44,14 @@ AISLE_X = scene_lib.EGO_START_X  # approach line (start poses sit on it)
 @struct.dataclass
 class ExpertState:
     phase: jnp.ndarray  # i32
+    trim_frames: jnp.ndarray  # i32 — frames spent in the trim phase
+    leg: jnp.ndarray  # i32 — trim direction: 0 reverse-in, 1 forward-out
 
     @classmethod
     def init(cls, batch_shape=()):
-        return cls(phase=jnp.zeros(batch_shape, jnp.int32))
+        return cls(phase=jnp.zeros(batch_shape, jnp.int32),
+                   trim_frames=jnp.zeros(batch_shape, jnp.int32),
+                   leg=jnp.zeros(batch_shape, jnp.int32))
 
 
 def _wrap(a):
@@ -80,7 +84,7 @@ def expert_policy(ego: EgoState, scene: SceneState, est: ExpertState,
 
     # ---------- phase 0: approach along the aisle ----------
     dist_to_trigger = h * (sy + h * R - ry)  # >0 while short of the trigger
-    v0 = jnp.clip(1.2 * dist_to_trigger, 0.0, 2.8)
+    v0 = jnp.clip(1.2 * dist_to_trigger, 0.0, 3.3)
     aisle_lat = ego.x - AISLE_X
     # desired heading = aisle heading + correction toward the line
     e0 = _wrap(ego.yaw - (h * jnp.pi / 2 + h * jnp.clip(0.15 * aisle_lat, -0.3, 0.3)))
@@ -93,16 +97,25 @@ def expert_policy(ego: EgoState, scene: SceneState, est: ExpertState,
     # desired yaw offset: reversing -> -side*k*lat; forward -> +side*k*lat
     k_lat = 0.55
     e_rev = yaw_err - (-side * jnp.clip(k_lat * lat, -0.5, 0.5))
-    e_fwd = yaw_err - (side * jnp.clip(k_lat * lat, -0.5, 0.5))
-    steer_rev = jnp.clip(2.5 * e_rev, -1.0, 1.0)
-    steer_fwd = jnp.clip(-2.5 * e_fwd, -1.0, 1.0)
+    steer_rev = jnp.clip(3.5 * e_rev, -1.0, 1.0)
+    # trim legs servo yaw only (lat coupling would fight the alignment)
+    steer_trim_rev = jnp.clip(3.0 * yaw_err, -1.0, 1.0)
+    steer_trim_fwd = jnp.clip(-3.0 * yaw_err, -1.0, 1.0)
 
-    v2 = -1.0
-    v3 = jnp.clip(-2.0 * along_err, -0.6, 0.6)
-    steer3 = jnp.where(v3 < 0, steer_rev, steer_fwd)
+    # decelerate with remaining depth so phase 2 ends slow (yaw feedback
+    # keeps converging while creeping)
+    v2 = -jnp.clip(0.9 * along_err, 0.12, 1.4)
+    # trim legs: leg 0 backs to the rear target; leg 1 pulls ~1.3 m out
+    # toward the aisle (yaw feedback active on both legs, so each
+    # out-and-back cycle bleeds off residual yaw error)
+    on_fwd_leg = est.leg == 1
+    v3_in = jnp.clip(-2.0 * along_err, -0.9, 0.9)
+    v3_out = jnp.clip(2.0 * (1.5 - along_err), 0.0, 0.9)
+    v3 = jnp.where(on_fwd_leg, v3_out, v3_in)
+    steer3 = jnp.where(v3 < 0, steer_trim_rev, steer_trim_fwd)
 
     v_want = jnp.where(phase == 0, v0,
-                       jnp.where(phase == 1, -1.3,
+                       jnp.where(phase == 1, -1.6,
                                  jnp.where(phase == 2, v2,
                                            jnp.where(phase == 3, v3, 0.0))))
     steer = jnp.where(phase == 0, steer0,
@@ -115,23 +128,36 @@ def expert_policy(ego: EgoState, scene: SceneState, est: ExpertState,
     gear = jnp.where(reverse, -1.0, 1.0)
     dv = (v_want - ego.v) * gear  # >0: need more speed in the gear direction
     throttle = jnp.clip(0.9 * dv, 0.0, 0.6)
+    # breakaway floor: weak commands can't beat rolling-resistance stiction
+    breakaway = sim_cfg.rolling_decel / sim_cfg.max_throttle_accel + 0.05
+    throttle = jnp.where(dv > 0.03, jnp.maximum(throttle, breakaway), throttle)
     brake = jnp.clip(-1.2 * dv, 0.0, 1.0)
     stopping = jnp.abs(v_want) < 1e-3
     throttle = jnp.where(stopping, 0.0, throttle)
     brake = jnp.where(stopping, 1.0, brake)
 
     # ---------- phase transitions ----------
-    at_trigger = (dist_to_trigger < 0.05) & (jnp.abs(ego.v) < 0.7)
+    at_trigger = (dist_to_trigger < 0.08) & (jnp.abs(ego.v) < 0.3)
     arc_done = jnp.abs(yaw_err) < jnp.radians(4.0)
     deep_enough = along_err < 0.03
     centered = (jnp.abs(along_err) < 0.04) & (jnp.abs(lat) < 0.3) \
         & (jnp.abs(yaw_err) < jnp.radians(0.45)) & (jnp.abs(ego.v) < 0.05)
 
+    trim_frames = jnp.where(phase == 3, est.trim_frames + 1, est.trim_frames)
+    give_up = trim_frames > 240  # 8 s of trimming: hold with what we have
+    parked = (jnp.abs(along_err) < 0.04) & (jnp.abs(ego.v) < 0.05)
+    yaw_good = jnp.abs(yaw_err) < jnp.radians(0.40)
+    # leg transitions: parked but misaligned -> pull out; pulled out -> back in
+    new_leg = jnp.where(
+        (phase == 3) & (est.leg == 0) & parked & ~yaw_good, 1,
+        jnp.where((phase == 3) & (est.leg == 1) & (along_err > 1.4), 0, est.leg))
     new_phase = jnp.where(
         (phase == 0) & at_trigger, 1,
         jnp.where((phase == 1) & arc_done, 2,
                   jnp.where((phase == 2) & deep_enough, 3,
-                            jnp.where((phase == 3) & centered, 4, phase))))
+                            jnp.where((phase == 3) & (est.leg == 0)
+                                      & ((parked & yaw_good & centered) | give_up),
+                                      4, phase))))
 
     hold = new_phase == 4
     control = VehicleControl(
@@ -140,4 +166,6 @@ def expert_policy(ego: EgoState, scene: SceneState, est: ExpertState,
         steer=jnp.where(hold, 0.0, steer),
         reverse=jnp.where(hold, True, reverse),
     )
-    return control, ExpertState(phase=new_phase.astype(jnp.int32))
+    return control, ExpertState(phase=new_phase.astype(jnp.int32),
+                                trim_frames=trim_frames.astype(jnp.int32),
+                                leg=new_leg.astype(jnp.int32))
