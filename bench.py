@@ -1,0 +1,97 @@
+"""Headline benchmark: env steps/sec/chip with 4-camera rendering.
+
+Runs a vmapped fleet of parking environments under one jitted lax.scan —
+expert policy, dynamics, collision/termination bookkeeping, and the full
+4-camera 256x256 RGB+depth render EVERY frame — and reports simulated env
+frames per wall-clock second on the current chip.
+
+Baseline (BASELINE.json north star): 100,000 env steps/s/chip on a v5e.
+The reference's CARLA server steps one environment at 30 FPS wall-clock
+(data_generation/world.py:33-38).
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": N, "unit": "steps/s/chip", "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_STEPS_PER_SEC = 100_000.0
+
+
+def build_bench(n_envs: int, render: bool = True):
+    from e2e_parking_carla_tpu.config import EvalConfig, SimConfig
+    from e2e_parking_carla_tpu.sim import scene as scene_lib
+    from e2e_parking_carla_tpu.sim.camera import render_cameras
+    from e2e_parking_carla_tpu.sim.env import reset_env, step_env
+    from e2e_parking_carla_tpu.sim.expert import ExpertState, expert_policy
+
+    sim_cfg, eval_cfg = SimConfig(), EvalConfig()
+
+    goals = jnp.asarray(scene_lib.EVAL_GOAL_INDICES)
+    key = jax.random.PRNGKey(0)
+    targets = goals[jax.random.randint(key, (n_envs,), 0, len(goals))]
+    goal_y = jnp.asarray(scene_lib.SLOT_XY)[targets, 1]
+    xs, ys, yaws = jax.vmap(scene_lib.datagen_start_pose)(
+        jax.random.split(key, n_envs), goal_y)
+    states = jax.vmap(reset_env)(
+        jax.random.split(jax.random.PRNGKey(1), n_envs), targets, xs, ys, yaws)
+    est = ExpertState.init((n_envs,))
+
+    def body(carry, _):
+        s, e = carry
+        ctrl, e = jax.vmap(lambda a, b, c: expert_policy(a, b, c, sim_cfg))(
+            s.ego, s.scene, e)
+        s = jax.vmap(lambda st, c: step_env(st, c, sim_cfg, eval_cfg))(s, ctrl)
+        if render:
+            cams = jax.vmap(
+                lambda x, y, yaw, sc: render_cameras(x, y, yaw, sc, sim_cfg)
+            )(s.ego.x, s.ego.y, s.ego.yaw, s.scene)
+            # consume the frames so nothing is dead-code eliminated
+            sink = (jnp.sum(cams["rgb"][..., 0, 0, :])
+                    + jnp.sum(cams["depth"][..., 0, 0]))
+        else:
+            sink = s.ego.x.sum()
+        return (s, e), sink
+
+    @jax.jit
+    def run(carry, n_steps):
+        (s, e), sinks = jax.lax.scan(body, carry, None, length=n_steps)
+        return (s, e), sinks.sum()
+
+    return (states, est), run
+
+
+def main():
+    n_envs = int(os.environ.get("BENCH_ENVS", "128"))
+    n_steps = 30
+    carry, run = build_bench(n_envs, render=True)
+
+    # compile + warm up
+    carry2, sink = run(carry, n_steps)
+    jax.block_until_ready(sink)
+
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        carry2, sink = run(carry2, n_steps)
+    jax.block_until_ready(sink)
+    dt = time.perf_counter() - t0
+
+    steps = n_envs * n_steps * iters
+    steps_per_sec = steps / dt
+    print(json.dumps({
+        "metric": "env steps/sec/chip (4-cam 256x256 render + dynamics + expert)",
+        "value": round(steps_per_sec, 1),
+        "unit": "steps/s/chip",
+        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,130 @@
+"""Closed-loop evaluation CLI (reference: carla_parking_eva.py).
+
+    python -m e2e_parking_carla_tpu.cli.evaluate \
+        --model_path ./ckpt/exp_.../  --eva_epochs 4 \
+        --eva_result_path ./eva_result
+
+Runs the 16-slot x 6-attempt protocol (vmapped, one scan per epoch) and
+writes the reference's CSV artifacts. With --expert the scripted expert is
+evaluated instead of a checkpoint (useful as a protocol self-check: the
+expert scores TSR 100).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_path", default=None, help="orbax checkpoint dir")
+    p.add_argument("--model_config_path", default=None, help="YAML config")
+    p.add_argument("--eva_epochs", type=int, default=4)
+    p.add_argument("--eva_task_nums", type=int, default=16)
+    p.add_argument("--eva_parking_nums", type=int, default=6)
+    p.add_argument("--eva_result_path", default="./eva_result")
+    p.add_argument("--random_seed", type=int, default=0)
+    p.add_argument("--expert", action="store_true",
+                   help="evaluate the scripted expert instead of a model")
+    p.add_argument("--smoke", action="store_true")
+    return p.parse_args(argv)
+
+
+def _eval_expert(cfg, out_dir, epochs):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from e2e_parking_carla_tpu.eval import csv_io
+    from e2e_parking_carla_tpu.sim import scene as scene_lib
+    from e2e_parking_carla_tpu.sim.env import eval_metrics, reset_env, step_env
+    from e2e_parking_carla_tpu.sim.expert import ExpertState, expert_policy
+
+    eval_cfg, sim_cfg = cfg.eval, cfg.sim
+    n = eval_cfg.task_nums * eval_cfg.parking_nums
+    per_epoch = []
+    for epoch in range(epochs):
+        targets = np.repeat(scene_lib.EVAL_GOAL_INDICES[: eval_cfg.task_nums],
+                            eval_cfg.parking_nums)
+        pidx = np.tile(np.arange(eval_cfg.parking_nums), eval_cfg.task_nums)
+        goal_y = scene_lib.SLOT_XY[targets][:, 1]
+        xs, ys, yaws = jax.vmap(scene_lib.eval_start_pose, in_axes=(0, 0, None))(
+            jnp.asarray(goal_y), jnp.asarray(pidx), eval_cfg.parking_nums)
+        keys = jax.random.split(jax.random.PRNGKey(epoch), n)
+        states = jax.vmap(reset_env)(keys, jnp.asarray(targets), xs, ys, yaws)
+        est = ExpertState.init((n,))
+
+        def body(carry, _):
+            s, e = carry
+            ctrl, e = jax.vmap(lambda a, b, c: expert_policy(a, b, c, sim_cfg))(
+                s.ego, s.scene, e)
+            s = jax.vmap(lambda st, c: step_env(st, c, sim_cfg, eval_cfg))(s, ctrl)
+            return (s, e), None
+
+        (final, _), _ = jax.jit(lambda c: jax.lax.scan(
+            body, c, None, length=eval_cfg.frames_total_needed + 5))((states, est))
+        m = jax.tree.map(float, eval_metrics(final, eval_cfg))
+        m["AIT"] = 0.0
+        per_epoch.append(m)
+        csv_io.write_epoch_csv(out_dir, epoch, final, eval_cfg, 0.0)
+        print(f"epoch {epoch + 1}: " + " ".join(f"{k}={v:.2f}" for k, v in m.items()))
+    csv_io.write_mean_std_csv(out_dir, per_epoch)
+    return per_epoch
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import dataclasses
+    import jax
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+
+    from e2e_parking_carla_tpu.config import Config, load_config
+
+    cfg = load_config(args.model_config_path) if args.model_config_path else Config()
+    cfg = dataclasses.replace(
+        cfg, eval=dataclasses.replace(
+            cfg.eval, epochs=args.eva_epochs, task_nums=args.eva_task_nums,
+            parking_nums=args.eva_parking_nums))
+    if args.smoke:
+        # keep the full 30 s per-attempt budget (the maneuver itself takes
+        # ~25 s); just shrink the protocol
+        cfg = dataclasses.replace(
+            cfg, eval=dataclasses.replace(cfg.eval, epochs=1, task_nums=2,
+                                          parking_nums=2))
+
+    if args.expert:
+        _eval_expert(cfg, args.eva_result_path, cfg.eval.epochs)
+        return 0
+
+    if not args.model_path:
+        raise SystemExit("--model_path required (or use --expert)")
+
+    from e2e_parking_carla_tpu.eval import ClosedLoopEvaluator
+    from e2e_parking_carla_tpu.models import ParkingModel
+    from e2e_parking_carla_tpu.train import checkpoints as ckpt_lib
+    from e2e_parking_carla_tpu.train.loop import train_loop  # noqa: F401
+    from e2e_parking_carla_tpu.data.rollout import collect_episodes, make_batch
+    from e2e_parking_carla_tpu.train import trainer as trainer_lib
+
+    model = ParkingModel(cfg.model, cfg.sim)
+    # rebuild a state skeleton to restore into
+    buf = jax.jit(lambda k: collect_episodes(k, 2, cfg.model, cfg.sim, cfg.eval))(
+        jax.random.PRNGKey(0))
+    sample = jax.jit(lambda b, k: make_batch(b, k, 2, cfg.model, cfg.sim))(
+        buf, jax.random.PRNGKey(1))
+    skeleton = trainer_lib.create_train_state(
+        model, cfg, jax.random.PRNGKey(0), sample)
+    mngr = ckpt_lib.CheckpointManager(args.model_path)
+    state = mngr.restore(skeleton, step=mngr.best_step() or mngr.latest_step())
+
+    ev = ClosedLoopEvaluator(
+        model, {"params": state.params, "batch_stats": state.batch_stats}, cfg)
+    overall, _ = ev.run(out_dir=args.eva_result_path, epochs=cfg.eval.epochs)
+    print("overall: " + " ".join(f"{k}={v:.2f}" for k, v in overall.items()))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,85 @@
+"""Training CLI (reference: pl_train.py).
+
+    python -m e2e_parking_carla_tpu.cli.train --config config/training.yaml
+    python -m e2e_parking_carla_tpu.cli.train --smoke   # tiny CPU check
+
+Unlike the reference (disk dataset + 8 dataloader workers + optional DDP),
+training data is generated on device by the scripted expert and the whole
+step — collection, rendering, fwd/bwd, Adam — is one XLA program per step.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default=None,
+                   help="YAML config (accepts the reference training.yaml schema)")
+    p.add_argument("--steps", type=int, default=None,
+                   help="total train steps (default: epochs * steps_per_epoch)")
+    p.add_argument("--steps_per_epoch", type=int, default=200)
+    p.add_argument("--n_envs", type=int, default=256,
+                   help="expert rollout fleet size per collection")
+    p.add_argument("--refresh_every", type=int, default=500)
+    p.add_argument("--val_every", type=int, default=200)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--model_axis", type=int, default=1,
+                   help="tensor-parallel axis size (1 = pure data parallel)")
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny model + few steps, CPU-friendly")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+
+    from e2e_parking_carla_tpu.config import Config, ModelConfig, SimConfig, TrainConfig, load_config
+    from e2e_parking_carla_tpu.models import ParkingModel
+    from e2e_parking_carla_tpu.train import checkpoints as ckpt_lib
+    from e2e_parking_carla_tpu.train.loop import train_loop
+
+    cfg = load_config(args.config) if args.config else Config()
+    if args.smoke:
+        tiny = dataclasses.replace(
+            ModelConfig(), backbone="efficientnet-b0", image_crop=32,
+            final_dim=(32, 32), bev_x_bound=(-10.0, 10.0, 0.4),
+            bev_y_bound=(-10.0, 10.0, 0.4), d_bound=(0.5, 12.5, 2.0),
+            bev_encoder_resize=64,
+            tf_en_layers=1, tf_de_layers=1, tf_en_ffn_dim=64,
+            tf_de_ffn_dim=64, compute_dtype="float32")
+        cfg = dataclasses.replace(
+            cfg, model=tiny, sim=SimConfig(cam_width=32, cam_height=32),
+            train=dataclasses.replace(cfg.train, batch_size=4, epochs=2))
+        total_steps = args.steps or 20
+        n_envs = min(args.n_envs, 8)
+        val_every = min(args.val_every, 10)
+    else:
+        total_steps = args.steps or cfg.train.epochs * args.steps_per_epoch
+        n_envs = args.n_envs
+        val_every = args.val_every
+
+    model = ParkingModel(cfg.model, cfg.sim)
+    exp_dir = ckpt_lib.experiment_dir(cfg.train.checkpoint_dir)
+    mngr = ckpt_lib.CheckpointManager(exp_dir, keep_top_k=cfg.train.keep_top_k)
+    print(f"devices: {jax.devices()}")
+    print(f"checkpoints -> {exp_dir}")
+
+    state = train_loop(
+        model, cfg, total_steps=total_steps, n_envs=n_envs,
+        refresh_every=args.refresh_every, val_every=val_every,
+        seed=args.seed, ckpt_manager=mngr)
+    mngr.wait()
+    print(f"done: step={int(state.step)} best_ckpt_step={mngr.best_step()}")
+    mngr.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

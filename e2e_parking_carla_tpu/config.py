@@ -37,6 +37,9 @@ class ModelConfig:
     # BEV encoder
     bev_encoder_in_channel: int = 64
     bev_encoder_out_channel: int = 258  # 256 + 2 ego-motion dims
+    bev_encoder_resize: int = 256  # input resize before the ResNet trunk
+    # (the reference hardcodes 256, model/bev_encoder.py:24; smaller values
+    # shrink the token count for tests/dry runs)
 
     # BEV / lift-splat grid (reference: config/training.yaml:26-33)
     bev_x_bound: Tuple[float, float, float] = (-10.0, 10.0, 0.1)

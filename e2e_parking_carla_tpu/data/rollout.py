@@ -1,0 +1,206 @@
+"""On-device expert data generation: rollouts -> training batches.
+
+Replaces the reference's entire disk pipeline — human demos recorded as PNG/
+JSON episodes by 10 writer threads (data_generation/data_generator.py:
+186-292), eagerly re-indexed and PIL-decoded by 8 dataloader workers
+(dataset/carla_dataset.py:272-374, dataset/dataloader.py:18-49) — with a
+state buffer + on-the-fly rendering:
+
+* `collect_episodes` runs a vmapped fleet of expert episodes and stores only
+  the 10 Hz *state* snapshots (pose, motion, applied controls, scene) — a
+  few hundred bytes per frame instead of nine PNGs,
+* `make_batch` samples (episode, frame) pairs and *renders the pixels on
+  device at batch-assembly time* (camera + BEV rasterizers are pure
+  functions of state), producing exactly the 11-tensor training dict the
+  reference dataset emits (carla_dataset.py:379-423): images, depth,
+  segmentation, ego_motion, target_point, token sequence, raw gt controls.
+
+Token timing matches the reference: the supervision sequence for frame i is
+the controls applied at 10 Hz frames i+1..i+4 (carla_dataset.py:322-341),
+and frames earlier than hist_frame_nums or too close to episode end are
+excluded (carla_dataset.py:291).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from e2e_parking_carla_tpu import tokens as tok
+from e2e_parking_carla_tpu.config import EvalConfig, ModelConfig, SimConfig
+from e2e_parking_carla_tpu.sim import scene as scene_lib
+from e2e_parking_carla_tpu.sim.bev import render_bev_seg, target_in_ego_frame
+from e2e_parking_carla_tpu.sim.camera import render_cameras
+from e2e_parking_carla_tpu.sim.env import SceneState, Status, reset_env, step_env
+from e2e_parking_carla_tpu.sim.expert import ExpertState, expert_policy
+
+IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406], jnp.float32)
+IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], jnp.float32)
+
+
+@struct.dataclass
+class EpisodeBuffer:
+    """10 Hz state snapshots for a fleet of episodes. E envs x T frames."""
+
+    ego_x: jnp.ndarray  # (E, T)
+    ego_y: jnp.ndarray
+    ego_yaw: jnp.ndarray
+    speed: jnp.ndarray  # |v| in km/h (reference units)
+    acc_x: jnp.ndarray
+    acc_y: jnp.ndarray
+    throttle: jnp.ndarray  # control applied at this frame
+    brake: jnp.ndarray
+    steer: jnp.ndarray
+    reverse: jnp.ndarray  # bool
+    npc_valid: jnp.ndarray  # (E, S)
+    npc_yaw: jnp.ndarray  # (E, S)
+    target_idx: jnp.ndarray  # (E,)
+    weather: jnp.ndarray  # (E,)
+    valid: jnp.ndarray  # (E, T) — usable as a training index
+    success: jnp.ndarray  # (E,)
+
+    @property
+    def num_frames(self):
+        return self.valid.shape[1]
+
+
+def collect_episodes(key: jax.Array, n_envs: int, model_cfg: ModelConfig,
+                     sim_cfg: SimConfig, eval_cfg: EvalConfig,
+                     max_frames: int = 900) -> EpisodeBuffer:
+    """Run `n_envs` expert episodes (random goal slot + start pose + scene,
+    mirroring the data-gen protocol) and snapshot every `policy_every`-th
+    frame. Fully jittable; the whole fleet is one lax.scan."""
+    k_goal, k_pose, k_scene, k_weather = jax.random.split(key, 4)
+    goal_choices = jnp.asarray(scene_lib.DATAGEN_GOAL_INDICES)
+    targets = goal_choices[jax.random.randint(k_goal, (n_envs,), 0, len(goal_choices))]
+    goal_y = jnp.asarray(scene_lib.SLOT_XY)[targets, 1]
+    xs, ys, yaws = jax.vmap(scene_lib.datagen_start_pose)(
+        jax.random.split(k_pose, n_envs), goal_y)
+    states = jax.vmap(reset_env)(
+        jax.random.split(k_scene, n_envs), targets, xs, ys, yaws)
+    weather = jax.random.randint(k_weather, (n_envs,), 0, 14)
+    est = ExpertState.init((n_envs,))
+
+    def body(carry, _):
+        s, e = carry
+        ctrl, e = jax.vmap(lambda a, b, c: expert_policy(a, b, c, sim_cfg))(
+            s.ego, s.scene, e)
+        s_next = jax.vmap(lambda st, c: step_env(st, c, sim_cfg, eval_cfg))(s, ctrl)
+        snap = {
+            "x": s.ego.x, "y": s.ego.y, "yaw": s.ego.yaw,
+            # km/h magnitude — the reference records 3.6*|v| into
+            # measurements (data_generator.py:260) and feeds the same units
+            # at eval (parking_agent.py:477)
+            "speed": 3.6 * jnp.abs(s.ego.v), "acc_x": s.ego.acc_x, "acc_y": s.ego.acc_y,
+            "throttle": ctrl.throttle, "brake": ctrl.brake, "steer": ctrl.steer,
+            "reverse": ctrl.reverse, "status": s_next.status,
+        }
+        return (s_next, e), snap
+
+    (final, _), traj = jax.lax.scan(body, (states, est), None, length=max_frames)
+    # subsample to the 10 Hz policy/save rate (reference data_generator.py:35)
+    k = sim_cfg.policy_every
+    traj10 = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1)[:, ::k], traj)  # (E, T)
+    T = traj10["x"].shape[1]
+
+    success = final.status == Status.TARGET_SUCCESS
+    # first 10 Hz index whose *status* is already terminal (success reached)
+    done10 = traj10["status"] != Status.RUNNING
+    first_done = jnp.argmax(done10, axis=1)  # 0 if never done
+    end = jnp.where(done10.any(axis=1), first_done, T)
+    t_idx = jnp.arange(T)[None, :]
+    hist = model_cfg.hist_frame_nums
+    fut = model_cfg.future_frame_nums
+    valid = (
+        success[:, None]
+        & (t_idx >= hist)
+        & (t_idx < end[:, None] - fut)
+    )
+
+    return EpisodeBuffer(
+        ego_x=traj10["x"], ego_y=traj10["y"], ego_yaw=traj10["yaw"],
+        speed=traj10["speed"], acc_x=traj10["acc_x"], acc_y=traj10["acc_y"],
+        throttle=traj10["throttle"], brake=traj10["brake"],
+        steer=traj10["steer"], reverse=traj10["reverse"],
+        npc_valid=final.scene.npc_valid, npc_yaw=final.scene.npc_yaw,
+        target_idx=final.scene.target_idx, weather=weather,
+        valid=valid, success=success,
+    )
+
+
+def normalize_images(rgb):
+    """[0,1] RGB -> ImageNet-normalized (the reference's ProcessImage,
+    carla_dataset.py:494-515)."""
+    return (rgb - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def make_batch(buffer: EpisodeBuffer, key: jax.Array, batch_size: int,
+               model_cfg: ModelConfig, sim_cfg: SimConfig):
+    """Sample a training batch and render it. Returns the training dict.
+
+    Jittable end-to-end: index sampling, state gathers, camera + BEV
+    rendering, tokenization. This IS the input pipeline — there are no host
+    workers to keep fed.
+    """
+    E, T = buffer.valid.shape
+    k_idx, = jax.random.split(key, 1)
+    p = buffer.valid.reshape(-1).astype(jnp.float32)
+    p = p / jnp.maximum(p.sum(), 1.0)
+    flat = jax.random.choice(k_idx, E * T, (batch_size,), replace=True, p=p)
+    e_idx, t_idx = flat // T, flat % T
+
+    def gather(a):
+        return a[e_idx, t_idx]
+
+    ego_x, ego_y, ego_yaw = gather(buffer.ego_x), gather(buffer.ego_y), gather(buffer.ego_yaw)
+    scenes = SceneState(
+        npc_valid=buffer.npc_valid[e_idx],
+        npc_yaw=buffer.npc_yaw[e_idx],
+        goal_free=~buffer.npc_valid[e_idx],
+        target_idx=buffer.target_idx[e_idx],
+    )
+    weather = buffer.weather[e_idx]
+
+    cams = jax.vmap(
+        lambda x, y, yaw, sc, w: render_cameras(x, y, yaw, sc, sim_cfg, w)
+    )(ego_x, ego_y, ego_yaw, scenes, weather)
+    images = normalize_images(cams["rgb"])  # (B, 4, H, W, 3)
+    depth = cams["depth"]  # (B, 4, H, W)
+
+    seg = jax.vmap(
+        lambda x, y, yaw, sc: render_bev_seg(x, y, yaw, sc, model_cfg, sim_cfg)
+    )(ego_x, ego_y, ego_yaw, scenes)
+
+    target_point = jax.vmap(target_in_ego_frame)(ego_x, ego_y, ego_yaw, scenes)
+
+    ego_motion = jnp.stack(
+        [gather(buffer.speed), gather(buffer.acc_x), gather(buffer.acc_y)],
+        axis=-1)[:, None, :]  # (B, 1, 3)
+
+    # future controls at t+1..t+fut (reference carla_dataset.py:322-341)
+    fut = model_cfg.future_frame_nums
+    offs = jnp.arange(1, fut + 1)
+    tt = t_idx[:, None] + offs[None, :]  # (B, fut)
+    ee = e_idx[:, None]
+    throttle = buffer.throttle[ee, tt]
+    brake = buffer.brake[ee, tt]
+    steer = buffer.steer[ee, tt]
+    reverse = buffer.reverse[ee, tt].astype(jnp.float32)
+    frames = tok.tokenize(throttle, brake, steer, reverse)  # (B, fut, 3)
+    gt_control = tok.build_sequence(frames, model_cfg.tf_de_tgt_dim)
+
+    # raw signed acc (throttle or -brake), as add_raw_control records
+    gt_acc = jnp.where(brake != 0.0, -brake, throttle)
+
+    return {
+        "images": images,
+        "depth": depth,
+        "segmentation": seg,
+        "ego_motion": ego_motion,
+        "target_point": target_point,
+        "gt_control": gt_control,
+        "gt_acc": gt_acc,
+        "gt_steer": steer,
+        "gt_reverse": buffer.reverse[ee, tt].astype(jnp.int32),
+    }

@@ -1,0 +1,173 @@
+"""Closed-loop evaluation: the full 16-slot x 6-attempt protocol as one
+batched, jitted rollout.
+
+Rebuilds the reference NetworkEvaluator's epoch/slot/attempt loops
+(data_generation/network_evaluator.py:18-300 + carla_parking_eva.py) without
+a simulator process: all 96 attempts of an epoch advance in lockstep inside
+a single lax.scan — render -> predict -> detokenize -> speed-limit -> 3 sim
+frames per policy step — and the per-slot/per-epoch CSV artifacts match the
+reference's metric schema (save_epoch_metric_csv / save_mean_std_csv,
+network_evaluator.py:450-518).
+
+AIT (average inference time) is measured on a standalone jitted predict call
+(warm cache), matching the reference's wall-clock timing around
+model.predict (parking_agent.py:381-388).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from e2e_parking_carla_tpu import tokens as tok
+from e2e_parking_carla_tpu.config import Config
+from e2e_parking_carla_tpu.data.rollout import normalize_images
+from e2e_parking_carla_tpu.eval.agent import AgentState, apply_speed_limit, target_from_seg
+from e2e_parking_carla_tpu.sim import scene as scene_lib
+from e2e_parking_carla_tpu.sim.bev import target_in_ego_frame
+from e2e_parking_carla_tpu.sim.camera import render_cameras
+from e2e_parking_carla_tpu.sim.env import Status, eval_metrics, reset_env, step_env
+from e2e_parking_carla_tpu.sim.vehicle import VehicleControl
+
+METRIC_NAMES = ("TSR", "TFR", "NTSR", "NTFR", "CR", "OR", "TR", "APE", "AOE", "APT", "AIT")
+
+
+class ClosedLoopEvaluator:
+    """Evaluate a trained policy over the reference protocol.
+
+    model: a ParkingModel; variables: its flax variables dict.
+    """
+
+    def __init__(self, model, variables, cfg: Config):
+        self.model = model
+        self.variables = variables
+        self.cfg = cfg
+        self._rollout = jax.jit(self._build_rollout())
+
+    # ------------------------------------------------------------------
+    def _predict(self, images, ego_motion, target_point):
+        return self.model.apply(self.variables, images, ego_motion, target_point,
+                                method=self.model.predict)
+
+    def _build_rollout(self):
+        cfg = self.cfg
+        model_cfg, sim_cfg, eval_cfg = cfg.model, cfg.sim, cfg.eval
+        n_policy_steps = eval_cfg.frames_total_needed // sim_cfg.policy_every + 2
+
+        def policy_step(carry, _):
+            env, agent = carry
+            cams = jax.vmap(
+                lambda x, y, yaw, sc: render_cameras(x, y, yaw, sc, sim_cfg)
+            )(env.ego.x, env.ego.y, env.ego.yaw, env.scene)
+            images = normalize_images(cams["rgb"])
+            # speed in km/h (reference units, parking_agent.py:477)
+            ego_motion = jnp.stack(
+                [3.6 * jnp.abs(env.ego.v), env.ego.acc_x, env.ego.acc_y], axis=-1
+            )[:, None, :]
+            tp_gt = jax.vmap(target_in_ego_frame)(
+                env.ego.x, env.ego.y, env.ego.yaw, env.scene)
+            tp = jnp.where(
+                agent.have_prev[:, None],
+                jnp.concatenate([agent.prev_target_xy, tp_gt[:, 2:]], axis=-1),
+                tp_gt,
+            )
+
+            tokens, seg, _, _ = self._predict(images, ego_motion, tp)
+            th, br, st, rv = tok.detokenize(tokens[:, 1:4])
+            control = VehicleControl(throttle=th, brake=br, steer=st, reverse=rv)
+            control, agent = apply_speed_limit(control, env.ego.v, agent, eval_cfg)
+
+            # the predicted-seg target feeds the NEXT cycle
+            new_xy, found = jax.vmap(lambda s: target_from_seg(s, model_cfg))(seg)
+            agent = agent.replace(
+                prev_target_xy=jnp.where(found[:, None], new_xy, agent.prev_target_xy),
+                have_prev=agent.have_prev | found,
+            )
+
+            for _ in range(sim_cfg.policy_every):
+                env = jax.vmap(lambda s, c: step_env(s, c, sim_cfg, eval_cfg))(env, control)
+            return (env, agent), env.status
+
+        def rollout(env):
+            agent = AgentState.init((env.ego.x.shape[0],))
+            (final, _), _ = jax.lax.scan(
+                policy_step, (env, agent), None, length=n_policy_steps)
+            return final
+
+        return rollout
+
+    # ------------------------------------------------------------------
+    def make_epoch_envs(self, seed: int):
+        """96 attempts: 16 slots x 6 swept start poses, scene re-seeded per
+        slot (reference: seed += 1 per slot, network_evaluator.py:252)."""
+        eval_cfg = self.cfg.eval
+        targets = np.repeat(scene_lib.EVAL_GOAL_INDICES[: eval_cfg.task_nums],
+                            eval_cfg.parking_nums)
+        pidx = np.tile(np.arange(eval_cfg.parking_nums), eval_cfg.task_nums)
+        goal_y = scene_lib.SLOT_XY[targets][:, 1]
+        xs, ys, yaws = jax.vmap(scene_lib.eval_start_pose, in_axes=(0, 0, None))(
+            jnp.asarray(goal_y), jnp.asarray(pidx), eval_cfg.parking_nums)
+        slot_seed = np.repeat(np.arange(eval_cfg.task_nums), eval_cfg.parking_nums)
+        keys = jax.vmap(lambda s: jax.random.PRNGKey(seed * 1000 + s))(
+            jnp.asarray(slot_seed))
+        return jax.vmap(reset_env)(keys, jnp.asarray(targets), xs, ys, yaws)
+
+    def measure_ait(self, n_iters: int = 10) -> float:
+        """Seconds per predict call on one attempt's batch, warm cache."""
+        sim_cfg = self.cfg.sim
+        env = self.make_epoch_envs(0)
+        cams = jax.vmap(
+            lambda x, y, yaw, sc: render_cameras(x, y, yaw, sc, sim_cfg)
+        )(env.ego.x, env.ego.y, env.ego.yaw, env.scene)
+        images = normalize_images(cams["rgb"])[:1]
+        ego_motion = jnp.zeros((1, 1, 3))
+        tp = jax.vmap(target_in_ego_frame)(
+            env.ego.x, env.ego.y, env.ego.yaw, env.scene)[:1]
+        fn = jax.jit(self._predict)
+        jax.block_until_ready(fn(images, ego_motion, tp))
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = fn(images, ego_motion, tp)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n_iters
+
+    def run_epoch(self, seed: int):
+        """One epoch of the protocol. Returns the terminal EnvStates."""
+        env = self.make_epoch_envs(seed)
+        return jax.block_until_ready(self._rollout(env))
+
+    # ------------------------------------------------------------------
+    def run(self, out_dir: Optional[str] = None, epochs: Optional[int] = None,
+            ait: Optional[float] = None):
+        """Full protocol: epochs x 96 attempts; optional CSV artifacts.
+
+        Returns (overall metric dict, list of per-epoch metric dicts).
+        """
+        from e2e_parking_carla_tpu.eval import csv_io
+
+        eval_cfg = self.cfg.eval
+        epochs = epochs if epochs is not None else eval_cfg.epochs
+        if ait is None:
+            ait = self.measure_ait()
+
+        per_epoch = []
+        all_finals = []
+        for epoch in range(epochs):
+            final = self.run_epoch(epoch)
+            all_finals.append(final)
+            m = jax.tree.map(float, eval_metrics(final, eval_cfg))
+            m["AIT"] = ait * 1000.0  # ms
+            per_epoch.append(m)
+            if out_dir is not None:
+                csv_io.write_epoch_csv(out_dir, epoch, final, eval_cfg, ait)
+
+        stacked = jax.tree.map(lambda *a: jnp.concatenate(a), *all_finals)
+        overall = jax.tree.map(float, eval_metrics(stacked, eval_cfg))
+        overall["AIT"] = ait * 1000.0
+        if out_dir is not None:
+            csv_io.write_mean_std_csv(out_dir, per_epoch)
+        return overall, per_epoch

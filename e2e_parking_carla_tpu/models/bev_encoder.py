@@ -14,18 +14,19 @@ from e2e_parking_carla_tpu.models.layers import BasicBlock, ConvBNAct, resize_bi
 
 
 class BevEncoder(nn.Module):
+    resize: int = 256
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        """x: (B, X, Y, C+1). Returns (B, 256 tokens, 256 channels)."""
-        x = resize_bilinear(x, (256, 256))
-        x = ConvBNAct(64, kernel=7, stride=2, dtype=self.dtype)(x, train)  # 128
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")  # 64
+        """x: (B, X, Y, C+1). Returns (B, (resize/16)^2 tokens, 256 ch)."""
+        x = resize_bilinear(x, (self.resize, self.resize))
+        x = ConvBNAct(64, kernel=7, stride=2, dtype=self.dtype)(x, train)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
         for features, stride in ((64, 1), (64, 1), (128, 2), (128, 1),
                                  (256, 2), (256, 1)):
             x = BasicBlock(features, stride=stride, dtype=self.dtype)(x, train)
-        # (B, 16, 16, 256) -> tokens, row-major spatial order (matches the
-        # reference's flatten(2) on NCHW: token index = row*16 + col)
-        b = x.shape[0]
-        return x.reshape(b, 16 * 16, 256)
+        # (B, s, s, 256) -> tokens, row-major spatial order (matches the
+        # reference's flatten(2) on NCHW: token index = row*s + col)
+        b, s = x.shape[0], x.shape[1]
+        return x.reshape(b, s * s, 256)

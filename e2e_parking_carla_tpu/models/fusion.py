@@ -24,7 +24,7 @@ class FeatureFusion(nn.Module):
         """bev_tokens: (B, L, 256); ego_motion: (B, 1, 3) or (B, 3).
         Returns fused (B, L, tf_en_dim)."""
         cfg = self.cfg
-        L = cfg.tf_en_bev_length
+        L = bev_tokens.shape[1]  # tf_en_bev_length for the parity config
         if ego_motion.ndim == 2:
             ego_motion = ego_motion[:, None, :]
 

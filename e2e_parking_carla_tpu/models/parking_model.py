@@ -76,7 +76,7 @@ class ParkingModel(nn.Module):
     def setup(self):
         dt = self.dtype
         self.cam_encoder = CamEncoder(self.cfg, dtype=dt)
-        self.bev_encoder = BevEncoder(dtype=dt)
+        self.bev_encoder = BevEncoder(resize=self.cfg.bev_encoder_resize, dtype=dt)
         self.feature_fusion = FeatureFusion(self.cfg, dtype=dt)
         self.control_decoder = ControlDecoder(self.cfg, dtype=dt)
         self.segmentation_head = SegmentationHead(self.cfg, dtype=dt)

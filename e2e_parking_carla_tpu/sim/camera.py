@@ -42,10 +42,6 @@ SKY_DEPTH = 1000.0  # CARLA depth cameras saturate at 1 km
 VEHICLE_HALF_HEIGHT = 0.75
 CAM_NAMES = geo.CAM_ORDER
 
-# ground texture over the lot bounds, 0.1 m/texel
-TEX_RES = 0.1
-TEX_X0, TEX_X1 = scene_lib.X_MIN - 8.0, scene_lib.X_MAX + 8.0
-TEX_Y0, TEX_Y1 = scene_lib.Y_MIN - 8.0, scene_lib.Y_MAX + 8.0
 LINE_HALF_WIDTH = 0.08
 
 
@@ -76,26 +72,32 @@ def camera_rays(sim_cfg: SimConfig = SimConfig()):
     return np.stack(dirs).astype(np.float32), np.array(origins, np.float32)
 
 
-@functools.lru_cache(maxsize=1)
-def ground_texture() -> np.ndarray:
-    """(TH, TW) float32 line-marking intensity over the lot, baked once.
+def ground_line_intensity(px, py):
+    """Analytic slot-line-marking intensity at world ground points (...,).
 
-    White outlines around each slot rectangle, the same geometry the
-    reference's OpenDRIVE MapImage rasterizes (bev_render.py:686-843).
+    White outlines around each slot rectangle — the same geometry the
+    reference's OpenDRIVE MapImage rasterizes (bev_render.py:686-843) —
+    computed in closed form so the Pallas kernel and the pure-JAX renderer
+    share one definition. Exploits the lot structure: 4 slot rows at fixed
+    x, 16 slot centers in y per row; the nearest row/center is found with a
+    handful of compares, no texture memory.
     """
-    xs = np.arange(TEX_X0, TEX_X1, TEX_RES, dtype=np.float32) + TEX_RES / 2
-    ys = np.arange(TEX_Y0, TEX_Y1, TEX_RES, dtype=np.float32) + TEX_RES / 2
-    gx, gy = np.meshgrid(xs, ys, indexing="ij")
-    intensity = np.zeros_like(gx)
+    px = jnp.asarray(px)
+    py = jnp.asarray(py)
     hl, hw = 2.75, 1.55  # slot rectangle half extents (slot axis = world x)
-    for sx, sy in scene_lib.SLOT_XY:
-        dx = np.abs(gx - sx)
-        dy = np.abs(gy - sy)
-        # distance to the rectangle outline (slot edges)
-        on_x_edge = (np.abs(dx - hl) < LINE_HALF_WIDTH) & (dy < hw + LINE_HALF_WIDTH)
-        on_y_edge = (np.abs(dy - hw) < LINE_HALF_WIDTH) & (dx < hl + LINE_HALF_WIDTH)
-        intensity = np.maximum(intensity, (on_x_edge | on_y_edge).astype(np.float32))
-    return intensity
+    w = LINE_HALF_WIDTH
+
+    row_x = jnp.asarray(scene_lib.ROW_X)  # (4,)
+    slot_y = jnp.asarray(scene_lib.SLOT_Y)  # (16,)
+    # distance to the nearest row line / slot center
+    dx_row = jnp.min(jnp.abs(px[..., None] - row_x), axis=-1)
+    dy_slot = jnp.min(jnp.abs(py[..., None] - slot_y), axis=-1)
+
+    # x-edges: two lines at row_x +- hl, spanning the slot's y extent
+    on_x_edge = (jnp.abs(dx_row - hl) < w) & (dy_slot < hw + w)
+    # y-edges: lines at slot_y +- hw, spanning the slot's x extent
+    on_y_edge = (jnp.abs(dy_slot - hw) < w) & (dx_row < hl + w)
+    return (on_x_edge | on_y_edge).astype(jnp.float32)
 
 
 def _vehicle_palette() -> np.ndarray:
@@ -219,21 +221,9 @@ def render_cameras(ego_x, ego_y, ego_yaw, scene: SceneState,
     t_hit = jnp.where(box_in_front, t_box, t_ground)
     is_sky = t_hit >= SKY_DEPTH
 
-    # ground shading: sample the line texture + target tint
+    # ground shading: analytic slot-line markings + target tint
     pg = o_world[..., :2] + t_ground[..., None] * d_world[..., :2]  # (N,H,W,2)
-    tex = jnp.asarray(ground_texture())
-    u = (pg[..., 0] - TEX_X0) / TEX_RES - 0.5
-    v = (pg[..., 1] - TEX_Y0) / TEX_RES - 0.5
-    u = jnp.clip(u, 0.0, tex.shape[0] - 1.001)
-    v = jnp.clip(v, 0.0, tex.shape[1] - 1.001)
-    u0, v0 = jnp.floor(u).astype(jnp.int32), jnp.floor(v).astype(jnp.int32)
-    fu, fv = u - u0, v - v0
-    line = (
-        tex[u0, v0] * (1 - fu) * (1 - fv)
-        + tex[u0 + 1, v0] * fu * (1 - fv)
-        + tex[u0, v0 + 1] * (1 - fu) * fv
-        + tex[u0 + 1, v0 + 1] * fu * fv
-    )
+    line = ground_line_intensity(pg[..., 0], pg[..., 1])
     # target slot tint (the red marking CARLA draws on the goal)
     target_xy = slot_xy[scene.target_idx]
     trel_x = pg[..., 0] - target_xy[0]

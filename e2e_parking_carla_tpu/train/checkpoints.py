@@ -1,0 +1,56 @@
+"""Orbax checkpointing with the reference's retention policy.
+
+Mirrors Lightning's ModelCheckpoint setup (trainer/pl_trainer.py:17-23):
+keep the top-k checkpoints by val_loss plus the latest, under a timestamped
+experiment directory (tool/config.py:57-67 stamps `exp_{Y_M_D_H_M_S}`).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+from typing import Optional
+
+import orbax.checkpoint as ocp
+
+
+def experiment_dir(root: str, name: str = "exp") -> str:
+    stamp = datetime.datetime.now().strftime("%Y_%m_%d_%H_%M_%S")
+    path = os.path.join(os.path.abspath(root), f"{name}_{stamp}")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+class CheckpointManager:
+    """Top-k-by-val-loss + always-keep-latest checkpoint manager."""
+
+    def __init__(self, directory: str, keep_top_k: int = 3):
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=keep_top_k,
+            best_fn=lambda metrics: metrics["val_loss"],
+            best_mode="min",
+            keep_checkpoints_without_metrics=True,
+        )
+        self._mngr = ocp.CheckpointManager(
+            os.path.abspath(directory), options=options)
+
+    def save(self, step: int, state, metrics: Optional[dict] = None):
+        metrics = {k: float(v) for k, v in (metrics or {}).items()}
+        self._mngr.save(step, args=ocp.args.StandardSave(state),
+                        metrics=metrics or None)
+
+    def restore(self, state_like, step: Optional[int] = None):
+        step = step if step is not None else self._mngr.latest_step()
+        return self._mngr.restore(step, args=ocp.args.StandardRestore(state_like))
+
+    def best_step(self):
+        return self._mngr.best_step()
+
+    def latest_step(self):
+        return self._mngr.latest_step()
+
+    def wait(self):
+        self._mngr.wait_until_finished()
+
+    def close(self):
+        self._mngr.close()

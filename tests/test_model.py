@@ -33,6 +33,7 @@ TINY = dataclasses.replace(
     bev_x_bound=(-10.0, 10.0, 0.4),
     bev_y_bound=(-10.0, 10.0, 0.4),
     d_bound=(0.5, 12.5, 1.0),
+    bev_encoder_resize=64,
     tf_en_layers=1,
     tf_de_layers=1,
     tf_en_ffn_dim=64,

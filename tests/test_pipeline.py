@@ -1,0 +1,184 @@
+"""Pipeline tests: on-device rollout collection, batch rendering, trainer
+steps, sharded execution on the virtual 8-device mesh, checkpointing, and a
+miniature closed-loop evaluation."""
+
+import dataclasses
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from e2e_parking_carla_tpu import tokens
+from e2e_parking_carla_tpu.config import Config, EvalConfig, ModelConfig, SimConfig, TrainConfig
+from e2e_parking_carla_tpu.data.rollout import collect_episodes, make_batch
+from e2e_parking_carla_tpu.models import ParkingModel
+from e2e_parking_carla_tpu.parallel import make_mesh, param_sharding, shard_batch, shard_params
+from e2e_parking_carla_tpu.sim.env import Status
+from e2e_parking_carla_tpu.train import checkpoints as ckpt_lib
+from e2e_parking_carla_tpu.train import trainer as trainer_lib
+
+TINY_MODEL = dataclasses.replace(
+    ModelConfig(),
+    backbone="efficientnet-b0",
+    image_crop=32,
+    final_dim=(32, 32),
+    bev_x_bound=(-10.0, 10.0, 0.4),
+    bev_y_bound=(-10.0, 10.0, 0.4),
+    d_bound=(0.5, 12.5, 2.0),
+    bev_encoder_resize=64,
+    tf_en_layers=1,
+    tf_de_layers=1,
+    tf_en_ffn_dim=64,
+    tf_de_ffn_dim=64,
+    compute_dtype="float32",
+)
+TINY_SIM = SimConfig(cam_width=32, cam_height=32)
+TINY_CFG = Config(model=TINY_MODEL, sim=TINY_SIM,
+                  eval=EvalConfig(), train=TrainConfig(batch_size=4, epochs=2))
+
+
+@pytest.fixture(scope="module")
+def buffer():
+    return jax.jit(
+        lambda k: collect_episodes(k, 4, TINY_MODEL, TINY_SIM, EvalConfig())
+    )(jax.random.PRNGKey(0))
+
+
+def test_collect_episodes(buffer):
+    assert buffer.ego_x.shape == (4, 300)
+    succ = np.asarray(buffer.success)
+    assert succ.all()  # the expert parks every episode
+    valid = np.asarray(buffer.valid)
+    assert valid.sum() > 0
+    # valid frames start at hist_frame_nums and end before terminal - future
+    assert not valid[:, : TINY_MODEL.hist_frame_nums].any()
+    # every valid frame has a full future-control window inside the episode
+    for e in range(4):
+        idx = np.where(valid[e])[0]
+        assert idx.max() + TINY_MODEL.future_frame_nums < 300
+
+
+def test_make_batch(buffer):
+    batch = jax.jit(
+        lambda b, k: make_batch(b, k, 4, TINY_MODEL, TINY_SIM)
+    )(buffer, jax.random.PRNGKey(1))
+    assert batch["images"].shape == (4, 4, 32, 32, 3)
+    assert batch["depth"].shape == (4, 4, 32, 32)
+    assert batch["segmentation"].shape == (4, 50, 50)
+    assert batch["ego_motion"].shape == (4, 1, 3)
+    assert batch["target_point"].shape == (4, 3)
+    assert batch["gt_control"].shape == (4, 15)
+    gt = np.asarray(batch["gt_control"])
+    assert (gt[:, 0] == tokens.BOS).all()
+    assert (gt[:, 13] == tokens.EOS).all()
+    assert (gt[:, 14] == tokens.PAD).all()
+    assert np.isfinite(np.asarray(batch["images"])).all()
+    # raw controls consistent with the token sequence
+    frames = np.asarray(tokens.split_sequence(gt, 4))
+    rev = np.asarray(batch["gt_reverse"])
+    np.testing.assert_array_equal(frames[..., 2] > 100, rev.astype(bool))
+
+
+@pytest.fixture(scope="module")
+def model_state(buffer):
+    model = ParkingModel(TINY_MODEL, TINY_SIM)
+    batch = jax.jit(
+        lambda b, k: make_batch(b, k, 4, TINY_MODEL, TINY_SIM)
+    )(buffer, jax.random.PRNGKey(2))
+    state = trainer_lib.create_train_state(
+        model, TINY_CFG, jax.random.PRNGKey(0), batch, steps_per_epoch=10)
+    return model, state, batch
+
+
+def test_train_and_val_step(model_state):
+    model, state, batch = model_state
+    train_step = trainer_lib.make_train_step(model, TINY_CFG, steps_per_epoch=10,
+                                             donate=False)
+    new_state, metrics = train_step(state, batch, jax.random.PRNGKey(3))
+    assert int(new_state.step) == 1
+    for key in ("control_loss", "segmentation_loss", "depth_loss", "train_loss"):
+        assert np.isfinite(float(metrics[key])), key
+    val_step = trainer_lib.make_val_step(model, TINY_CFG)
+    vm = val_step(new_state, batch)
+    assert set(vm) == {"acc_steer_val_loss", "reverse_val_loss",
+                       "segmentation_val_loss", "depth_val_loss", "val_loss"}
+    assert np.isfinite(float(vm["val_loss"]))
+
+
+def test_mesh_dp_tp(model_state):
+    """Full train step over a (4 data x 2 model) mesh on 8 CPU devices."""
+    model, state, batch = model_state
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(data_axis=4, model_axis=2)
+    sharded_params = shard_params(state.params, mesh)
+    tx = trainer_lib.make_optimizer(TINY_CFG, steps_per_epoch=10)
+    sh_state = state.replace(
+        params=sharded_params,
+        batch_stats=shard_params(state.batch_stats, mesh),
+        opt_state=tx.init(sharded_params),  # moments inherit param shardings
+    )
+    sh_batch = shard_batch(batch, mesh)
+    train_step = trainer_lib.make_train_step(model, TINY_CFG, steps_per_epoch=10,
+                                             donate=False)
+    new_state, metrics = train_step(sh_state, sh_batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["train_loss"]))
+
+    # TP rule actually sharded an attention kernel over the model axis
+    specs = param_sharding(state.params, mesh)
+    flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+    tp_shards = [s for p, s in flat if "model" in str(s.spec)]
+    assert len(tp_shards) > 0
+
+
+def test_param_sharding_replicated_without_tp(model_state):
+    _, state, _ = model_state
+    mesh = make_mesh(data_axis=8, model_axis=1)
+    specs = param_sharding(state.params, mesh)
+    flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+    assert all("model" not in str(s.spec) for _, s in flat)
+
+
+def test_checkpoint_roundtrip(model_state, tmp_path):
+    _, state, _ = model_state
+    mngr = ckpt_lib.CheckpointManager(str(tmp_path / "ckpt"), keep_top_k=2)
+    mngr.save(1, state, metrics={"val_loss": 2.0})
+    mngr.save(2, state, metrics={"val_loss": 1.0})
+    mngr.save(3, state, metrics={"val_loss": 3.0})
+    mngr.wait()
+    assert mngr.best_step() == 2
+    restored = mngr.restore(state, step=2)
+    chex_equal = jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        state.params, restored.params)
+    del chex_equal
+    mngr.close()
+
+
+def test_closed_loop_eval_smoke(model_state, tmp_path):
+    """2 slots x 2 attempts, 9 s budget, untrained policy: the protocol
+    machinery runs end to end and emits the reference CSV schema."""
+    from e2e_parking_carla_tpu.eval import ClosedLoopEvaluator
+    from e2e_parking_carla_tpu.eval.csv_io import aggregate_result_csvs
+
+    model, state, _ = model_state
+    cfg = dataclasses.replace(
+        TINY_CFG,
+        eval=EvalConfig(epochs=2, task_nums=2, parking_nums=2,
+                        frames_total_needed=270, frames_outbound_needed=60),
+    )
+    ev = ClosedLoopEvaluator(
+        model, {"params": state.params, "batch_stats": state.batch_stats}, cfg)
+    overall, per_epoch = ev.run(out_dir=str(tmp_path), epochs=2)
+    assert len(per_epoch) == 2
+    assert set(overall) >= {"TSR", "TFR", "CR", "TR", "APE", "AOE", "APT", "AIT"}
+    assert overall["AIT"] > 0
+    # untrained policy: everything terminates somehow (no NaN/hang)
+    total = overall["TSR"] + overall["TFR"] + overall["NTSR"] + overall["NTFR"] \
+        + overall["CR"] + overall["OR"] + overall["TR"]
+    assert 0.0 <= total <= 100.0 + 1e-6
+    assert os.path.exists(tmp_path / "1_result.csv")
+    assert os.path.exists(tmp_path / "result_mean.csv")
+    mean_path, std_path = aggregate_result_csvs(str(tmp_path))
+    assert os.path.exists(mean_path) and os.path.exists(std_path)
