@@ -13,6 +13,7 @@ Prints exactly one JSON line:
     {"metric": ..., "value": N, "unit": "steps/s/chip", "vs_baseline": N}
 """
 
+import functools
 import json
 import os
 import sys
@@ -24,8 +25,9 @@ import jax.numpy as jnp
 BASELINE_STEPS_PER_SEC = 100_000.0
 
 
-def build_bench(n_envs: int, render: bool = True):
+def build_bench(n_envs: int, render: bool = True, use_pallas: bool = True):
     from e2e_parking_carla_tpu.config import EvalConfig, SimConfig
+    from e2e_parking_carla_tpu.ops.render import render_cameras_pallas
     from e2e_parking_carla_tpu.sim import scene as scene_lib
     from e2e_parking_carla_tpu.sim.camera import render_cameras
     from e2e_parking_carla_tpu.sim.env import reset_env, step_env
@@ -44,27 +46,31 @@ def build_bench(n_envs: int, render: bool = True):
     est = ExpertState.init((n_envs,))
 
     def body(carry, _):
-        s, e = carry
+        s, e, acc = carry
         ctrl, e = jax.vmap(lambda a, b, c: expert_policy(a, b, c, sim_cfg))(
             s.ego, s.scene, e)
         s = jax.vmap(lambda st, c: step_env(st, c, sim_cfg, eval_cfg))(s, ctrl)
         if render:
-            cams = jax.vmap(
-                lambda x, y, yaw, sc: render_cameras(x, y, yaw, sc, sim_cfg)
-            )(s.ego.x, s.ego.y, s.ego.yaw, s.scene)
-            # consume the frames so nothing is dead-code eliminated
-            sink = (jnp.sum(cams["rgb"][..., 0, 0, :])
-                    + jnp.sum(cams["depth"][..., 0, 0]))
+            if use_pallas:
+                cams = render_cameras_pallas(
+                    s.ego.x, s.ego.y, s.ego.yaw, s.scene, sim_cfg)
+            else:
+                cams = jax.vmap(
+                    lambda x, y, yaw, sc: render_cameras(x, y, yaw, sc, sim_cfg)
+                )(s.ego.x, s.ego.y, s.ego.yaw, s.scene)
+            # consume EVERY pixel so nothing can be elided, and feed the sum
+            # back through the carry so steps are strictly sequential
+            sink = jnp.sum(cams["rgb"]) + jnp.sum(cams["depth"])
         else:
             sink = s.ego.x.sum()
-        return (s, e), sink
+        return (s, e, acc + sink), None
 
-    @jax.jit
+    @functools.partial(jax.jit, static_argnums=(1,))
     def run(carry, n_steps):
-        (s, e), sinks = jax.lax.scan(body, carry, None, length=n_steps)
-        return (s, e), sinks.sum()
+        (s, e, acc), _ = jax.lax.scan(body, carry, None, length=n_steps)
+        return (s, e, acc)
 
-    return (states, est), run
+    return (states, est, jnp.float32(0.0)), run
 
 
 def main():
@@ -72,15 +78,16 @@ def main():
     n_steps = 30
     carry, run = build_bench(n_envs, render=True)
 
-    # compile + warm up
-    carry2, sink = run(carry, n_steps)
-    jax.block_until_ready(sink)
+    # compile + warm up; float() forces a device->host fetch (a plain
+    # block_until_ready is not a reliable fence over the remote tunnel)
+    carry2 = run(carry, n_steps)
+    _ = float(carry2[2])
 
     t0 = time.perf_counter()
     iters = 3
     for _ in range(iters):
-        carry2, sink = run(carry2, n_steps)
-    jax.block_until_ready(sink)
+        carry2 = run(carry2, n_steps)
+    _ = float(carry2[2])
     dt = time.perf_counter() - t0
 
     steps = n_envs * n_steps * iters

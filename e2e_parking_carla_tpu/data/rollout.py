@@ -31,7 +31,7 @@ from e2e_parking_carla_tpu import tokens as tok
 from e2e_parking_carla_tpu.config import EvalConfig, ModelConfig, SimConfig
 from e2e_parking_carla_tpu.sim import scene as scene_lib
 from e2e_parking_carla_tpu.sim.bev import render_bev_seg, target_in_ego_frame
-from e2e_parking_carla_tpu.sim.camera import render_cameras
+from e2e_parking_carla_tpu.ops.dispatch import render_batch
 from e2e_parking_carla_tpu.sim.env import SceneState, Status, reset_env, step_env
 from e2e_parking_carla_tpu.sim.expert import ExpertState, expert_policy
 
@@ -162,9 +162,7 @@ def make_batch(buffer: EpisodeBuffer, key: jax.Array, batch_size: int,
     )
     weather = buffer.weather[e_idx]
 
-    cams = jax.vmap(
-        lambda x, y, yaw, sc, w: render_cameras(x, y, yaw, sc, sim_cfg, w)
-    )(ego_x, ego_y, ego_yaw, scenes, weather)
+    cams = render_batch(ego_x, ego_y, ego_yaw, scenes, sim_cfg, weather)
     images = normalize_images(cams["rgb"])  # (B, 4, H, W, 3)
     depth = cams["depth"]  # (B, 4, H, W)
 

@@ -29,7 +29,7 @@ from e2e_parking_carla_tpu.data.rollout import normalize_images
 from e2e_parking_carla_tpu.eval.agent import AgentState, apply_speed_limit, target_from_seg
 from e2e_parking_carla_tpu.sim import scene as scene_lib
 from e2e_parking_carla_tpu.sim.bev import target_in_ego_frame
-from e2e_parking_carla_tpu.sim.camera import render_cameras
+from e2e_parking_carla_tpu.ops.dispatch import render_batch
 from e2e_parking_carla_tpu.sim.env import Status, eval_metrics, reset_env, step_env
 from e2e_parking_carla_tpu.sim.vehicle import VehicleControl
 
@@ -60,9 +60,8 @@ class ClosedLoopEvaluator:
 
         def policy_step(carry, _):
             env, agent = carry
-            cams = jax.vmap(
-                lambda x, y, yaw, sc: render_cameras(x, y, yaw, sc, sim_cfg)
-            )(env.ego.x, env.ego.y, env.ego.yaw, env.scene)
+            cams = render_batch(env.ego.x, env.ego.y, env.ego.yaw,
+                                env.scene, sim_cfg)
             images = normalize_images(cams["rgb"])
             # speed in km/h (reference units, parking_agent.py:477)
             ego_motion = jnp.stack(
@@ -120,9 +119,7 @@ class ClosedLoopEvaluator:
         """Seconds per predict call on one attempt's batch, warm cache."""
         sim_cfg = self.cfg.sim
         env = self.make_epoch_envs(0)
-        cams = jax.vmap(
-            lambda x, y, yaw, sc: render_cameras(x, y, yaw, sc, sim_cfg)
-        )(env.ego.x, env.ego.y, env.ego.yaw, env.scene)
+        cams = render_batch(env.ego.x, env.ego.y, env.ego.yaw, env.scene, sim_cfg)
         images = normalize_images(cams["rgb"])[:1]
         ego_motion = jnp.zeros((1, 1, 3))
         tp = jax.vmap(target_in_ego_frame)(

@@ -9,8 +9,9 @@ tile in VMEM:
 * one grid cell = (env, pixel-tile); the box loop runs inside the kernel
   with the nearest-hit state in registers/VMEM — the carry never leaves
   the chip,
-* boxes are pre-culled to the K nearest slots per env (a top_k outside the
-  kernel) and passed as per-env scalars in SMEM,
+* one pixel tile = one camera, and boxes are pre-culled per (env, camera)
+  to the K nearest slots in front of that camera (a masked top_k outside
+  the kernel), passed as scalars in SMEM,
 * ground slot-line markings are computed analytically (the same closed form
   as sim/camera.py: 4 row lines + 16 slot-center lines), no texture gathers.
 
@@ -81,16 +82,18 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, tile_rows: int):
     def kernel(env_ref, boxes_ref, dx_ref, dy_ref, dz_ref,
                ox_ref, oy_ref, oz_ref,
                r_ref, g_ref, b_ref, depth_ref, sem_ref):
-        ex = env_ref[0, 0]
-        ey = env_ref[0, 1]
-        c = env_ref[0, 2]
-        s = env_ref[0, 3]
-        tgx = env_ref[0, 4]
-        tgy = env_ref[0, 5]
-        bright = env_ref[0, 6]
-        sky_r = env_ref[0, 7]
-        sky_g = env_ref[0, 8]
-        sky_b = env_ref[0, 9]
+        e = pl.program_id(1)
+        cam = pl.program_id(0)
+        ex = env_ref[e, 0]
+        ey = env_ref[e, 1]
+        c = env_ref[e, 2]
+        s = env_ref[e, 3]
+        tgx = env_ref[e, 4]
+        tgy = env_ref[e, 5]
+        bright = env_ref[e, 6]
+        sky_r = env_ref[e, 7]
+        sky_g = env_ref[e, 8]
+        sky_b = env_ref[e, 9]
 
         dxv = dx_ref[:]
         dyv = dy_ref[:]
@@ -112,14 +115,14 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, tile_rows: int):
         # ---- box loop: nearest hit stays in VMEM ----
         def body(k, carry):
             t_best, vr, vg, vb = carry
-            cx = boxes_ref[0, k * BOX_FIELDS + 0]
-            cy = boxes_ref[0, k * BOX_FIELDS + 1]
-            cb = boxes_ref[0, k * BOX_FIELDS + 2]
-            sb = boxes_ref[0, k * BOX_FIELDS + 3]
-            col_r = boxes_ref[0, k * BOX_FIELDS + 4]
-            col_g = boxes_ref[0, k * BOX_FIELDS + 5]
-            col_b = boxes_ref[0, k * BOX_FIELDS + 6]
-            bvalid = boxes_ref[0, k * BOX_FIELDS + 7]
+            cx = boxes_ref[e, cam, k * BOX_FIELDS + 0]
+            cy = boxes_ref[e, cam, k * BOX_FIELDS + 1]
+            cb = boxes_ref[e, cam, k * BOX_FIELDS + 2]
+            sb = boxes_ref[e, cam, k * BOX_FIELDS + 3]
+            col_r = boxes_ref[e, cam, k * BOX_FIELDS + 4]
+            col_g = boxes_ref[e, cam, k * BOX_FIELDS + 5]
+            col_b = boxes_ref[e, cam, k * BOX_FIELDS + 6]
+            bvalid = boxes_ref[e, cam, k * BOX_FIELDS + 7]
 
             relx = owx - cx
             rely = owy - cy
@@ -131,8 +134,9 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, tile_rows: int):
             d2 = dwz
 
             def slab(o, d, half):
-                inv = 1.0 / jnp.where(jnp.abs(d) < eps,
-                                      jnp.where(d >= 0, eps, -eps), d)
+                guarded = jnp.where(jnp.abs(d) < eps,
+                                    jnp.where(d >= 0, eps, -eps), d)
+                inv = 1.0 / guarded
                 t1 = (-half - o) * inv
                 t2 = (half - o) * inv
                 return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
@@ -202,7 +206,7 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, tile_rows: int):
 
 @functools.partial(jax.jit, static_argnames=("sim_cfg", "n_boxes", "interpret"))
 def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
-                          weather=None, n_boxes: int = 16,
+                          weather=None, n_boxes: int = 10,
                           interpret: bool = False):
     """Batched fused render. ego_* are (E,); scene is a batched SceneState.
 
@@ -212,9 +216,9 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
     H, W = sim_cfg.cam_height, sim_cfg.cam_width
     P = 4 * H * W
     rows = P // LANES
-    tile_rows = min(rows, 512)
-    assert rows % tile_rows == 0
-    n_tiles = rows // tile_rows
+    tile_rows = (H * W) // LANES  # one tile == one camera's pixels
+    assert tile_rows % 8 == 0 and rows == 4 * tile_rows
+    n_tiles = 4
 
     planes = tuple(jnp.asarray(p) for p in _ray_planes(sim_cfg))
 
@@ -234,42 +238,62 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
     env_scalars = env_scalars.at[:, 6].set(wrow[:, 0])
     env_scalars = env_scalars.at[:, 7:10].set(wrow[:, 1:4])
 
-    # cull to the K nearest occupied slots per env
-    d2 = (slot_xy[None, :, 0] - ego_x[:, None]) ** 2 \
-        + (slot_xy[None, :, 1] - ego_y[:, None]) ** 2
-    d2 = jnp.where(scene.npc_valid, d2, jnp.inf)
-    _, top_idx = jax.lax.top_k(-d2, n_boxes)  # (E, K)
+    # cull per (env, camera): the K nearest occupied slots that are not
+    # clearly behind the camera's horizontal forward axis (conservative: a
+    # box within its own radius of the image plane is kept; fov 100 deg
+    # means anything truly visible passes this half-space-with-margin test)
+    cam_fwd_veh = jnp.asarray([[1.0, 0.0], [0.0, -1.0], [0.0, 1.0], [-1.0, 0.0]])
+    cam_off_veh = jnp.asarray(
+        [[geo_spec["x"], geo_spec["y"]] for geo_spec in
+         (dict(x=1.5, y=0.0), dict(x=0.0, y=-0.8), dict(x=0.0, y=0.8),
+          dict(x=-2.2, y=0.0))])
+    c_yaw, s_yaw = jnp.cos(ego_yaw), jnp.sin(ego_yaw)  # (E,)
+
+    def rot(v):
+        return jnp.stack([v[..., 0] * c_yaw[:, None] - v[..., 1] * s_yaw[:, None],
+                          v[..., 0] * s_yaw[:, None] + v[..., 1] * c_yaw[:, None]],
+                         axis=-1)
+
+    fwd_w = rot(jnp.broadcast_to(cam_fwd_veh, (E, 4, 2)))  # (E, 4, 2)
+    cam_pos = rot(jnp.broadcast_to(cam_off_veh, (E, 4, 2))) \
+        + jnp.stack([ego_x, ego_y], -1)[:, None, :]
+    rel = slot_xy[None, None, :, :] - cam_pos[:, :, None, :]  # (E, 4, S, 2)
+    front = jnp.einsum("ecsd,ecd->ecs", rel, fwd_w) > -3.0
+    d2 = jnp.sum(rel * rel, axis=-1)  # (E, 4, S)
+    vis = scene.npc_valid[:, None, :] & front & (d2 < 45.0 ** 2)
+    d2 = jnp.where(vis, d2, jnp.inf)
+    _, top_idx = jax.lax.top_k(-d2, n_boxes)  # (E, 4, K)
     palette = jnp.asarray(cam_lib._vehicle_palette())
 
-    def pack_boxes(idx, valid_row, yaw_row):
+    def pack_boxes(idx, vis_row, yaw_row):
         sel_xy = slot_xy[idx]
-        sel_yaw = yaw_row[idx]
-        sel_valid = valid_row[idx].astype(jnp.float32)
+        sel_yaw = jnp.take_along_axis(yaw_row, idx, axis=-1)
+        sel_valid = jnp.take_along_axis(vis_row, idx, axis=-1).astype(jnp.float32)
         sel_col = palette[idx]
         return jnp.concatenate([
             sel_xy,
-            jnp.cos(sel_yaw)[:, None], jnp.sin(sel_yaw)[:, None],
+            jnp.cos(sel_yaw)[..., None], jnp.sin(sel_yaw)[..., None],
             sel_col,
-            sel_valid[:, None],
-        ], axis=-1).reshape(-1)  # (K * BOX_FIELDS,)
+            sel_valid[..., None],
+        ], axis=-1).reshape(4, -1)  # (4, K * BOX_FIELDS)
 
-    boxes = jax.vmap(pack_boxes)(top_idx, scene.npc_valid, scene.npc_yaw)
+    boxes = jax.vmap(pack_boxes)(
+        top_idx, jnp.broadcast_to(vis, (E, 4, slot_xy.shape[0])),
+        jnp.broadcast_to(scene.npc_yaw[:, None, :], (E, 4, slot_xy.shape[0])))
 
     kernel = _make_kernel(sim_cfg, n_boxes, tile_rows)
-    plane_spec = pl.BlockSpec((tile_rows, LANES), lambda e, t: (t, 0),
+    plane_spec = pl.BlockSpec((tile_rows, LANES), lambda t, e: (t, 0),
                               memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, tile_rows, LANES), lambda e, t: (e, t, 0),
+    out_spec = pl.BlockSpec((1, tile_rows, LANES), lambda t, e: (e, t, 0),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((E, rows, LANES), jnp.float32)
 
     r, g, b, depth, sem = pl.pallas_call(
         kernel,
-        grid=(E, n_tiles),
+        grid=(n_tiles, E),
         in_specs=[
-            pl.BlockSpec((1, ENV_FIELDS), lambda e, t: (e, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_boxes * BOX_FIELDS), lambda e, t: (e, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # env scalars, full array
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # packed boxes, full array
             plane_spec, plane_spec, plane_spec,
             plane_spec, plane_spec, plane_spec,
         ],
