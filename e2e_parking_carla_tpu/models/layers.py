@@ -180,7 +180,13 @@ class BasicBlock(nn.Module):
 
 
 class TransformerEncoderLayer(nn.Module):
-    """Post-LN encoder layer: x = LN(x + attn(x)); x = LN(x + ffn(x))."""
+    """Post-LN encoder layer: x = LN(x + attn(x)); x = LN(x + ffn(x)).
+
+    Attention weights are sown into the 'intermediates' collection when that
+    collection is mutable — apply(..., mutable=['intermediates']) retrieves
+    them for visualization (the reference hooks the last encoder layer's
+    attention for its overlay, agent/parking_agent.py:71-91).
+    """
 
     dim: int
     heads: int
@@ -193,7 +199,7 @@ class TransformerEncoderLayer(nn.Module):
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, qkv_features=self.dim, dtype=self.dtype,
             dropout_rate=self.dropout, deterministic=not train,
-        )(x, x, mask=mask)
+        )(x, x, mask=mask, sow_weights=True)
         x = nn.LayerNorm(dtype=jnp.float32)(x + nn.Dropout(
             self.dropout, deterministic=not train)(attn))
         h = nn.Dense(self.ffn_dim, dtype=self.dtype)(x)

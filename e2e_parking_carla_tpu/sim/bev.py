@@ -23,6 +23,7 @@ in practice).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from e2e_parking_carla_tpu.config import ModelConfig, SimConfig
@@ -57,16 +58,27 @@ def render_bev_seg(ego_x, ego_y, ego_yaw, scene: SceneState,
     wy = cells_ego[..., 0] * s + cells_ego[..., 1] * c + ego_y
     cells_world = jnp.stack([wx, wy], axis=-1)  # (H, W, 2)
 
-    # vehicles: any valid NPC OBB containing the cell center
+    # vehicles: any valid NPC OBB containing the cell center. Only slots
+    # within the grid's reach can contribute — cull to the K nearest before
+    # the dense per-cell test (4x fewer tests; exact, since the BEV spans
+    # +-10 m and slot pitch is ~3 m, so >24 slots can never intersect it).
     slot_xy = jnp.asarray(scene_lib.SLOT_XY)  # (S, 2)
+    K = 24
+    d2 = (slot_xy[:, 0] - ego_x) ** 2 + (slot_xy[:, 1] - ego_y) ** 2
+    d2 = jnp.where(scene.npc_valid, d2, jnp.inf)
+    neg_d2, near_idx = jax.lax.top_k(-d2, K)
+    near_xy = slot_xy[near_idx]  # (K, 2)
+    near_yaw = scene.npc_yaw[near_idx]
+    near_valid = scene.npc_valid[near_idx] & (-neg_d2 < (14.2 + 2.6) ** 2)
+
     npc_half = jnp.array([sim_cfg.npc_half_length, sim_cfg.npc_half_width], jnp.float32)
     inside = point_in_obb(
         cells_world[:, :, None, :],  # (H, W, 1, 2)
-        slot_xy[None, None, :, :],  # (1, 1, S, 2)
-        scene.npc_yaw[None, None, :],
+        near_xy[None, None, :, :],  # (1, 1, K, 2)
+        near_yaw[None, None, :],
         npc_half[None, None, None, :],
-    )  # (H, W, S)
-    vehicle = jnp.any(inside & scene.npc_valid[None, None, :], axis=-1)
+    )  # (H, W, K)
+    vehicle = jnp.any(inside & near_valid[None, None, :], axis=-1)
 
     # target slot rectangle (world frame: slot axis along world x)
     target_xy = slot_xy[scene.target_idx]

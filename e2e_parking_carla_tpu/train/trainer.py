@@ -49,10 +49,12 @@ def make_optimizer(cfg: Config, steps_per_epoch: int = 1000):
 
 def create_train_state(model, cfg: Config, rng, sample_batch,
                        steps_per_epoch: int = 1000) -> TrainState:
-    variables = model.init(
+    # jit the init: op-by-op dispatch is pathological on remote backends
+    init = jax.jit(lambda rngs, i, m, t, g: model.init(rngs, i, m, t, g, train=False))
+    variables = init(
         {"params": rng, "dropout": jax.random.PRNGKey(0)},
         sample_batch["images"], sample_batch["ego_motion"],
-        sample_batch["target_point"], sample_batch["gt_control"], train=False)
+        sample_batch["target_point"], sample_batch["gt_control"])
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(cfg, steps_per_epoch)
