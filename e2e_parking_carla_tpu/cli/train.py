@@ -24,6 +24,8 @@ def parse_args(argv=None):
     p.add_argument("--n_envs", type=int, default=256,
                    help="expert rollout fleet size per collection")
     p.add_argument("--refresh_every", type=int, default=500)
+    p.add_argument("--chunk", type=int, default=25,
+                   help="fused train steps per device dispatch")
     p.add_argument("--val_every", type=int, default=200)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--model_axis", type=int, default=1,
@@ -60,10 +62,12 @@ def main(argv=None):
         total_steps = args.steps or 20
         n_envs = min(args.n_envs, 8)
         val_every = min(args.val_every, 10)
+        chunk = min(args.chunk, 2)
     else:
         total_steps = args.steps or cfg.train.epochs * args.steps_per_epoch
         n_envs = args.n_envs
         val_every = args.val_every
+        chunk = args.chunk
 
     model = ParkingModel(cfg.model, cfg.sim)
     exp_dir = ckpt_lib.experiment_dir(cfg.train.checkpoint_dir)
@@ -74,7 +78,7 @@ def main(argv=None):
     state = train_loop(
         model, cfg, total_steps=total_steps, n_envs=n_envs,
         refresh_every=args.refresh_every, val_every=val_every,
-        seed=args.seed, ckpt_manager=mngr)
+        chunk=chunk, seed=args.seed, ckpt_manager=mngr)
     mngr.wait()
     print(f"done: step={int(state.step)} best_ckpt_step={mngr.best_step()}")
     mngr.close()

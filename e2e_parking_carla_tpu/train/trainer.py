@@ -66,9 +66,9 @@ def create_train_state(model, cfg: Config, rng, sample_batch,
     )
 
 
-def make_train_step(model, cfg: Config, steps_per_epoch: int = 1000,
-                    donate: bool = True):
-    """Returns jitted (state, batch, rng) -> (state, metrics)."""
+def build_train_step(model, cfg: Config, steps_per_epoch: int = 1000):
+    """Un-jitted (state, batch, rng) -> (state, metrics) — for embedding in
+    larger jitted programs (e.g. the fused multi-step chunk in loop.py)."""
     tx = make_optimizer(cfg, steps_per_epoch)
     model_cfg = cfg.model
 
@@ -94,10 +94,19 @@ def make_train_step(model, cfg: Config, steps_per_epoch: int = 1000,
                                batch_stats=new_bstats, opt_state=new_opt)
         return new_state, loss_dict
 
-    # Under a mesh, placement comes from the inputs: put the TrainState with
-    # parallel.shard_params / replication and the batch with
-    # parallel.shard_batch — jit propagates those shardings and XLA inserts
-    # the gradient all-reduce over the "data" axis.
+    return train_step
+
+
+def make_train_step(model, cfg: Config, steps_per_epoch: int = 1000,
+                    donate: bool = True):
+    """Jitted (state, batch, rng) -> (state, metrics).
+
+    Under a mesh, placement comes from the inputs: put the TrainState with
+    parallel.shard_params / replication and the batch with
+    parallel.shard_batch — jit propagates those shardings and XLA inserts
+    the gradient all-reduce over the "data" axis.
+    """
+    train_step = build_train_step(model, cfg, steps_per_epoch)
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
