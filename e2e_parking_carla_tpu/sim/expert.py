@@ -46,12 +46,14 @@ class ExpertState:
     phase: jnp.ndarray  # i32
     trim_frames: jnp.ndarray  # i32 — frames spent in the trim phase
     leg: jnp.ndarray  # i32 — trim direction: 0 reverse-in, 1 forward-out
+    arc_R: jnp.ndarray  # f32 — turning radius captured at arc entry (0 = unset)
 
     @classmethod
     def init(cls, batch_shape=()):
         return cls(phase=jnp.zeros(batch_shape, jnp.int32),
                    trim_frames=jnp.zeros(batch_shape, jnp.int32),
-                   leg=jnp.zeros(batch_shape, jnp.int32))
+                   leg=jnp.zeros(batch_shape, jnp.int32),
+                   arc_R=jnp.zeros(batch_shape, jnp.float32))
 
 
 def _wrap(a):
@@ -71,8 +73,12 @@ def expert_policy(ego: EgoState, scene: SceneState, est: ExpertState,
     rx = ego.x - sim_cfg.rear_axle_to_center * jnp.cos(ego.yaw)
     ry = ego.y - sim_cfg.rear_axle_to_center * jnp.sin(ego.yaw)
 
-    R = jnp.abs(sx - AISLE_X)
-    arc_steer_mag = jnp.arctan(sim_cfg.wheelbase / R) / sim_cfg.max_steer_rad
+    # live lateral distance from the rear axle to the slot's x line; the
+    # radius is frozen at arc entry so the whole 90-degree arc is consistent
+    R_live = jnp.maximum(jnp.abs(sx - rx), 2.0)
+    R = jnp.where(est.arc_R > 0, est.arc_R, R_live)
+    arc_steer_mag = jnp.clip(
+        jnp.arctan(sim_cfg.wheelbase / R) / sim_cfg.max_steer_rad, 0.0, 1.0)
     # final heading points back at the aisle: -side * x_hat
     yaw_goal = jnp.where(side > 0, jnp.pi, 0.0)
     yaw_err = _wrap(ego.yaw - yaw_goal)
@@ -83,24 +89,32 @@ def expert_policy(ego: EgoState, scene: SceneState, est: ExpertState,
     phase = est.phase
 
     # ---------- phase 0: approach along the aisle ----------
-    dist_to_trigger = h * (sy + h * R - ry)  # >0 while short of the trigger
-    v0 = jnp.clip(1.2 * dist_to_trigger, 0.0, 3.3)
+    dist_to_trigger = h * (sy + h * R_live - ry)  # >0 while short of trigger
+    v0 = jnp.clip(1.6 * dist_to_trigger, 0.0, 3.3)
     aisle_lat = ego.x - AISLE_X
     # desired heading = aisle heading + correction toward the line
-    e0 = _wrap(ego.yaw - (h * jnp.pi / 2 + h * jnp.clip(0.15 * aisle_lat, -0.3, 0.3)))
-    steer0 = jnp.clip(-1.5 * e0, -1.0, 1.0)
+    e0 = _wrap(ego.yaw - (h * jnp.pi / 2 + h * jnp.clip(0.5 * aisle_lat, -0.35, 0.35)))
+    steer0 = jnp.clip(-2.0 * e0, -1.0, 1.0)
 
     # ---------- phase 1: reverse arc ----------
     steer1 = -side * h * arc_steer_mag
 
     # ---------- phases 2/3: line tracking along the slot axis ----------
     # desired yaw offset: reversing -> -side*k*lat; forward -> +side*k*lat
+    # cross-track coupling fades out near the slot so yaw settles to zero
+    # exactly where the alignment gates need it
+    fade = jnp.clip(along_err / 1.5, 0.0, 1.0)
     k_lat = 0.55
-    e_rev = yaw_err - (-side * jnp.clip(k_lat * lat, -0.5, 0.5))
+    e_rev = yaw_err - (-side * jnp.clip(k_lat * lat, -0.5, 0.5) * fade)
     steer_rev = jnp.clip(3.5 * e_rev, -1.0, 1.0)
-    # trim legs servo yaw only (lat coupling would fight the alignment)
-    steer_trim_rev = jnp.clip(3.0 * yaw_err, -1.0, 1.0)
-    steer_trim_fwd = jnp.clip(-3.0 * yaw_err, -1.0, 1.0)
+    # trim legs: yaw servo plus a lateral term that FADES OUT near the
+    # parked point (a constant lat bias would hold yaw off zero exactly
+    # where the alignment gate needs it at zero); sign flips with travel
+    # direction, so out-and-back cycles bleed off both residual yaw and
+    # cross-track error
+    lat_term = jnp.clip(0.4 * lat, -0.3, 0.3) * fade
+    steer_trim_rev = jnp.clip(3.0 * (yaw_err + side * lat_term), -1.0, 1.0)
+    steer_trim_fwd = jnp.clip(-3.0 * (yaw_err - side * lat_term), -1.0, 1.0)
 
     # decelerate with remaining depth so phase 2 ends slow (yaw feedback
     # keeps converging while creeping)
@@ -109,8 +123,8 @@ def expert_policy(ego: EgoState, scene: SceneState, est: ExpertState,
     # toward the aisle (yaw feedback active on both legs, so each
     # out-and-back cycle bleeds off residual yaw error)
     on_fwd_leg = est.leg == 1
-    v3_in = jnp.clip(-2.0 * along_err, -0.9, 0.9)
-    v3_out = jnp.clip(2.0 * (1.5 - along_err), 0.0, 0.9)
+    v3_in = jnp.clip(-2.2 * along_err, -1.2, 1.2)
+    v3_out = jnp.clip(2.2 * (1.3 - along_err), 0.0, 1.2)
     v3 = jnp.where(on_fwd_leg, v3_out, v3_in)
     steer3 = jnp.where(v3 < 0, steer_trim_rev, steer_trim_fwd)
 
@@ -127,7 +141,7 @@ def expert_policy(ego: EgoState, scene: SceneState, est: ExpertState,
     reverse = v_want < -1e-3
     gear = jnp.where(reverse, -1.0, 1.0)
     dv = (v_want - ego.v) * gear  # >0: need more speed in the gear direction
-    throttle = jnp.clip(0.9 * dv, 0.0, 0.6)
+    throttle = jnp.clip(1.3 * dv, 0.0, 0.7)
     # breakaway floor: weak commands can't beat rolling-resistance stiction
     breakaway = sim_cfg.rolling_decel / sim_cfg.max_throttle_accel + 0.05
     throttle = jnp.where(dv > 0.03, jnp.maximum(throttle, breakaway), throttle)
@@ -147,17 +161,21 @@ def expert_policy(ego: EgoState, scene: SceneState, est: ExpertState,
     give_up = trim_frames > 240  # 8 s of trimming: hold with what we have
     parked = (jnp.abs(along_err) < 0.04) & (jnp.abs(ego.v) < 0.05)
     yaw_good = jnp.abs(yaw_err) < jnp.radians(0.40)
+    lat_good = jnp.abs(lat) < 0.3
     # leg transitions: parked but misaligned -> pull out; pulled out -> back in
     new_leg = jnp.where(
-        (phase == 3) & (est.leg == 0) & parked & ~yaw_good, 1,
-        jnp.where((phase == 3) & (est.leg == 1) & (along_err > 1.4), 0, est.leg))
+        (phase == 3) & (est.leg == 0) & parked & ~(yaw_good & lat_good), 1,
+        jnp.where((phase == 3) & (est.leg == 1) & (along_err > 1.2), 0, est.leg))
     new_phase = jnp.where(
         (phase == 0) & at_trigger, 1,
         jnp.where((phase == 1) & arc_done, 2,
                   jnp.where((phase == 2) & deep_enough, 3,
-                            jnp.where((phase == 3) & (est.leg == 0)
-                                      & ((parked & yaw_good & centered) | give_up),
+                            jnp.where((phase == 3) & (est.leg == 0) & parked
+                                      & ((yaw_good & lat_good & centered)
+                                         | give_up),
                                       4, phase))))
+    # freeze the arc radius at the 0 -> 1 transition
+    new_arc_R = jnp.where((phase == 0) & at_trigger, R_live, est.arc_R)
 
     hold = new_phase == 4
     control = VehicleControl(
@@ -168,4 +186,5 @@ def expert_policy(ego: EgoState, scene: SceneState, est: ExpertState,
     )
     return control, ExpertState(phase=new_phase.astype(jnp.int32),
                                 trim_frames=trim_frames.astype(jnp.int32),
-                                leg=new_leg.astype(jnp.int32))
+                                leg=new_leg.astype(jnp.int32),
+                                arc_R=new_arc_R.astype(jnp.float32))

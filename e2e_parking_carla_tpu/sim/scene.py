@@ -73,16 +73,28 @@ def sample_scene(key: jax.Array, target_idx) -> tuple:
     return occupied, yaw, ~occupied
 
 
-def datagen_start_pose(key: jax.Array, goal_y):
+def datagen_start_pose(key: jax.Array, goal_y, lat_noise: float = 0.6,
+                       yaw_noise_deg: float = 4.0):
     """Random start pose for data generation (parking_position.py:148-151):
     y ~ U[goal_y-8, goal_y+8], heading +90 if y < goal_y else -90.
 
+    On top of the reference's sweep we jitter the lateral position and
+    heading (the reference gets this diversity for free from its four human
+    drivers; the scripted expert's feedback controllers absorb the jitter,
+    and the demonstrations then cover the recovery behaviors the policy
+    needs in closed loop).
+
     Returns (x, y, yaw_rad).
     """
-    y = jax.random.uniform(key, (), minval=goal_y - EGO_SWEEP_HALF_RANGE,
+    k_y, k_x, k_yaw = jax.random.split(key, 3)
+    y = jax.random.uniform(k_y, (), minval=goal_y - EGO_SWEEP_HALF_RANGE,
                            maxval=goal_y + EGO_SWEEP_HALF_RANGE)
     yaw = jnp.where(y < goal_y, jnp.pi / 2, -jnp.pi / 2)
-    return jnp.float32(EGO_START_X), y, yaw
+    x = EGO_START_X + jax.random.uniform(k_x, (), minval=-lat_noise,
+                                         maxval=lat_noise)
+    yaw = yaw + jnp.radians(jax.random.uniform(
+        k_yaw, (), minval=-yaw_noise_deg, maxval=yaw_noise_deg))
+    return x.astype(jnp.float32), y, yaw
 
 
 def eval_start_pose(goal_y, parking_idx, parking_nums: int):

@@ -178,8 +178,16 @@ def test_datagen_start_pose_in_range():
     for seed in range(10):
         x, y, yaw = scene_lib.datagen_start_pose(jax.random.PRNGKey(seed), -220.23)
         assert -228.23 <= float(y) <= -212.23
+        # heading toward the goal, with up to +-4 deg of jitter
         expected = np.pi / 2 if float(y) < -220.23 else -np.pi / 2
-        assert float(yaw) == pytest.approx(expected, abs=1e-6)
+        assert abs(float(yaw) - expected) <= np.radians(4.0) + 1e-6
+        # lateral jitter within +-0.6 m of the aisle line
+        assert abs(float(x) - scene_lib.EGO_START_X) <= 0.6 + 1e-6
+
+    # zero-noise mode reproduces the reference's exact sweep
+    x, y, yaw = scene_lib.datagen_start_pose(
+        jax.random.PRNGKey(0), -220.23, lat_noise=0.0, yaw_noise_deg=0.0)
+    assert float(x) == pytest.approx(scene_lib.EGO_START_X, abs=1e-5)
 
 
 # ---------------------------------------------------------------------------
