@@ -26,6 +26,8 @@ def parse_args(argv=None):
     p.add_argument("--random_seed", type=int, default=0)
     p.add_argument("--expert", action="store_true",
                    help="evaluate the scripted expert instead of a model")
+    p.add_argument("--no_speed_limit", action="store_true",
+                   help="ablation: disable the agent speed-limit heuristics")
     p.add_argument("--smoke", action="store_true")
     return p.parse_args(argv)
 
@@ -86,7 +88,8 @@ def main(argv=None):
     cfg = dataclasses.replace(
         cfg, eval=dataclasses.replace(
             cfg.eval, epochs=args.eva_epochs, task_nums=args.eva_task_nums,
-            parking_nums=args.eva_parking_nums))
+            parking_nums=args.eva_parking_nums,
+            use_speed_limit=not args.no_speed_limit))
     if args.smoke:
         # keep the full 30 s per-attempt budget (the maneuver itself takes
         # ~25 s); just shrink the protocol

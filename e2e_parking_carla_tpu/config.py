@@ -72,6 +72,9 @@ class ModelConfig:
     tf_de_tgt_dim: int = 15
     tf_de_ffn_dim: int = 2048
 
+    # Ablation switches (paper Table III variants).
+    decoder_type: str = "transformer"  # "transformer" | "mlp"
+
     # TPU-specific knobs (no reference equivalent).
     compute_dtype: str = "bfloat16"  # matmul/conv dtype; params stay float32
     target_noise_px: float = 5.0  # +-px jitter on the target BEV stamp
@@ -218,6 +221,7 @@ class EvalConfig:
     stall_seconds: float = 1.0
     stall_boost_throttle: float = 0.3
     settle_seconds: float = 1.0
+    use_speed_limit: bool = True  # paper Table III "w/o speed limit" ablation
 
 
 # ---------------------------------------------------------------------------

@@ -78,7 +78,8 @@ class ClosedLoopEvaluator:
             tokens, seg, _, _ = self._predict(images, ego_motion, tp)
             th, br, st, rv = tok.detokenize(tokens[:, 1:4])
             control = VehicleControl(throttle=th, brake=br, steer=st, reverse=rv)
-            control, agent = apply_speed_limit(control, env.ego.v, agent, eval_cfg)
+            if eval_cfg.use_speed_limit:
+                control, agent = apply_speed_limit(control, env.ego.v, agent, eval_cfg)
 
             # the predicted-seg target feeds the NEXT cycle
             new_xy, found = jax.vmap(lambda s: target_from_seg(s, model_cfg))(seg)

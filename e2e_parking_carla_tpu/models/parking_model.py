@@ -26,7 +26,7 @@ from flax import linen as nn
 from e2e_parking_carla_tpu.config import ModelConfig, SimConfig
 from e2e_parking_carla_tpu.models.bev_encoder import BevEncoder
 from e2e_parking_carla_tpu.models.cam_encoder import CamEncoder
-from e2e_parking_carla_tpu.models.control_decoder import ControlDecoder
+from e2e_parking_carla_tpu.models.control_decoder import ControlDecoder, MLPControlDecoder
 from e2e_parking_carla_tpu.models.fusion import FeatureFusion
 from e2e_parking_carla_tpu.models.lift_splat import (
     build_splat_plan,
@@ -78,7 +78,10 @@ class ParkingModel(nn.Module):
         self.cam_encoder = CamEncoder(self.cfg, dtype=dt)
         self.bev_encoder = BevEncoder(resize=self.cfg.bev_encoder_resize, dtype=dt)
         self.feature_fusion = FeatureFusion(self.cfg, dtype=dt)
-        self.control_decoder = ControlDecoder(self.cfg, dtype=dt)
+        if self.cfg.decoder_type == "mlp":
+            self.control_decoder = MLPControlDecoder(self.cfg, dtype=dt)
+        else:
+            self.control_decoder = ControlDecoder(self.cfg, dtype=dt)
         self.segmentation_head = SegmentationHead(self.cfg, dtype=dt)
 
     def encoder(self, images, ego_motion, target_point, train: bool = False,
