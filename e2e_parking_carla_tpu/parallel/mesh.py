@@ -77,10 +77,18 @@ def _spec_for(path: str, use_tp: bool):
     return P()
 
 
-def param_sharding(params, mesh: Mesh):
-    """NamedSharding tree for a param pytree: TP rules when the model axis
-    is >1, fully replicated otherwise."""
+def param_sharding(params, mesh: Mesh, fsdp: bool = False,
+                   fsdp_min_size: int = 2 ** 16):
+    """NamedSharding tree for a param pytree.
+
+    * model axis > 1: tensor-parallel rules for the transformer blocks,
+    * fsdp=True: remaining large params are sharded along their largest
+      divisible dimension over the "data" axis (ZeRO-3 style — jit inserts
+      the all-gathers next to use and reduce-scatters the grads),
+    * everything else replicated.
+    """
     use_tp = mesh.shape[MODEL_AXIS] > 1
+    n_data = mesh.shape[DATA_AXIS]
 
     def assign(path, leaf):
         path_str = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
@@ -91,11 +99,20 @@ def param_sharding(params, mesh: Mesh):
                 if axis is not None and leaf.shape[dim] % mesh.shape[MODEL_AXIS]:
                     spec = P()
                     break
+        if fsdp and spec == P() and n_data > 1 and leaf.size >= fsdp_min_size:
+            # shard the largest divisible dim over "data"
+            dims = sorted(range(leaf.ndim), key=lambda d: -leaf.shape[d])
+            for d in dims:
+                if leaf.shape[d] % n_data == 0:
+                    parts = [None] * leaf.ndim
+                    parts[d] = DATA_AXIS
+                    spec = P(*parts)
+                    break
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(assign, params)
 
 
-def shard_params(params, mesh: Mesh):
-    shardings = param_sharding(params, mesh)
+def shard_params(params, mesh: Mesh, fsdp: bool = False):
+    shardings = param_sharding(params, mesh, fsdp=fsdp)
     return jax.tree.map(jax.device_put, params, shardings)

@@ -182,3 +182,26 @@ def test_closed_loop_eval_smoke(model_state, tmp_path):
     assert os.path.exists(tmp_path / "result_mean.csv")
     mean_path, std_path = aggregate_result_csvs(str(tmp_path))
     assert os.path.exists(mean_path) and os.path.exists(std_path)
+
+
+def test_mesh_fsdp(model_state):
+    """Full train step with ZeRO-3-style param sharding over 4 devices."""
+    model, state, batch = model_state
+    mesh = make_mesh(data_axis=4, model_axis=1)
+    sharded_params = shard_params(state.params, mesh, fsdp=True)
+    tx = trainer_lib.make_optimizer(TINY_CFG, steps_per_epoch=10)
+    sh_state = state.replace(
+        params=sharded_params,
+        batch_stats=shard_params(state.batch_stats, mesh),
+        opt_state=tx.init(sharded_params),
+    )
+    sh_batch = shard_batch(batch, mesh)
+    train_step = trainer_lib.make_train_step(model, TINY_CFG, steps_per_epoch=10,
+                                             donate=False)
+    _, metrics = train_step(sh_state, sh_batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["train_loss"]))
+
+    # at least one large kernel actually sharded over "data"
+    specs = param_sharding(state.params, mesh, fsdp=True)
+    flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+    assert any("data" in str(s.spec) for _, s in flat)
