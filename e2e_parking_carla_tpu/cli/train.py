@@ -30,6 +30,12 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--model_axis", type=int, default=1,
                    help="tensor-parallel axis size (1 = pure data parallel)")
+    p.add_argument("--resume", default=None,
+                   help="checkpoint dir to resume from (restores the latest "
+                        "step and continues; the reference has no resume "
+                        "wiring, SURVEY §5)")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax debug_nans (fail fast on NaNs)")
     p.add_argument("--smoke", action="store_true",
                    help="tiny model + few steps, CPU-friendly")
     return p.parse_args(argv)
@@ -41,6 +47,8 @@ def main(argv=None):
     import jax
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     from e2e_parking_carla_tpu.config import Config, ModelConfig, SimConfig, TrainConfig, load_config
     from e2e_parking_carla_tpu.models import ParkingModel
@@ -70,15 +78,30 @@ def main(argv=None):
         chunk = args.chunk
 
     model = ParkingModel(cfg.model, cfg.sim)
-    exp_dir = ckpt_lib.experiment_dir(cfg.train.checkpoint_dir)
+    exp_dir = args.resume or ckpt_lib.experiment_dir(cfg.train.checkpoint_dir)
     mngr = ckpt_lib.CheckpointManager(exp_dir, keep_top_k=cfg.train.keep_top_k)
     print(f"devices: {jax.devices()}")
     print(f"checkpoints -> {exp_dir}")
 
+    state = None
+    if args.resume and mngr.latest_step() is not None:
+        from e2e_parking_carla_tpu.data.rollout import collect_episodes, make_batch
+        from e2e_parking_carla_tpu.train import trainer as trainer_lib
+
+        buf = jax.jit(lambda k: collect_episodes(k, 2, cfg.model, cfg.sim, cfg.eval))(
+            jax.random.PRNGKey(0))
+        sample = jax.jit(lambda b, k: make_batch(b, k, cfg.train.batch_size,
+                                                 cfg.model, cfg.sim))(
+            buf, jax.random.PRNGKey(1))
+        skeleton = trainer_lib.create_train_state(
+            model, cfg, jax.random.PRNGKey(0), sample)
+        state = mngr.restore(skeleton)
+        print(f"resumed from step {int(state.step)}")
+
     state = train_loop(
         model, cfg, total_steps=total_steps, n_envs=n_envs,
         refresh_every=args.refresh_every, val_every=val_every,
-        chunk=chunk, seed=args.seed, ckpt_manager=mngr)
+        chunk=chunk, seed=args.seed, ckpt_manager=mngr, state=state)
     mngr.wait()
     print(f"done: step={int(state.step)} best_ckpt_step={mngr.best_step()}")
     mngr.close()

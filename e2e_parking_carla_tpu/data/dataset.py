@@ -40,13 +40,16 @@ def decode_depth(img_rgb: np.ndarray) -> np.ndarray:
 
 
 def _tokenize_scalar(throttle, brake, steer, reverse, token_nums=204):
+    # float32 arithmetic to match the on-device tokenizer bit-for-bit
+    # (boundary values like throttle=0.7 round differently in f64)
     valid = token_nums - 4
-    half = valid / 2
+    half = np.float32(valid / 2)
+    throttle, brake, steer = np.float32(throttle), np.float32(brake), np.float32(steer)
     if brake != 0.0:
-        tb = int(half * (1 - brake))
+        tb = int(half * (np.float32(1) - brake))
     else:
-        tb = int(half * (throttle + 1))
-    return [tb, int((steer + 1) * half), int(reverse) * valid]
+        tb = int(half * (throttle + np.float32(1)))
+    return [tb, int((steer + np.float32(1)) * half), int(reverse) * valid]
 
 
 class CarlaEpisodeDataset:

@@ -1,0 +1,76 @@
+"""Tests for the auxiliary subsystems: viz, logging, profiling."""
+
+import json
+import os
+
+import numpy as np
+
+from e2e_parking_carla_tpu.utils.logging import MetricLogger
+from e2e_parking_carla_tpu.utils.profiling import SimpleProfiler
+from e2e_parking_carla_tpu.utils.viz import (
+    attention_panel,
+    bev_panel,
+    camera_grid,
+    compose_frame,
+    save_gif,
+)
+
+
+def test_camera_grid_layout():
+    rgb = np.zeros((4, 8, 8, 3), np.float32)
+    rgb[0, :, :, 0] = 1.0  # front = red, top-left
+    rgb[2, :, :, 2] = 1.0  # right = blue, bottom-right
+    grid = camera_grid(rgb)
+    assert grid.shape == (16, 16, 3)
+    assert grid[0, 0, 0] == 255  # front top-left
+    assert grid[15, 15, 2] == 255  # right bottom-right
+
+
+def test_bev_panel_colors_and_flip():
+    seg = np.zeros((10, 10), np.int32)
+    seg[9, 0] = 2  # far-forward cell -> should appear at the TOP after flip
+    img = bev_panel(seg, upscale=1)
+    assert img.shape == (10, 10, 3)
+    assert tuple(img[0, 0]) == (220, 60, 60)
+
+
+def test_attention_panel():
+    attn = np.random.RandomState(0).rand(6, 16, 16).astype(np.float32)
+    img = attention_panel(attn, out_size=32)
+    assert img.shape == (32, 32, 3)
+    assert img.dtype == np.uint8
+
+
+def test_compose_and_gif(tmp_path):
+    rgb = np.random.RandomState(1).rand(4, 16, 16, 3).astype(np.float32)
+    seg = np.zeros((8, 8), np.int32)
+    frame = compose_frame(rgb, seg)
+    assert frame.shape[0] == 32  # grid height
+    path = save_gif([frame, frame], str(tmp_path / "a.gif"), fps=5)
+    assert os.path.getsize(path) > 100
+
+
+def test_metric_logger(tmp_path):
+    logger = MetricLogger(str(tmp_path), echo=False, tensorboard=False)
+    logger.log(1, {"loss": 2.5})
+    logger.log(2, {"loss": 1.5}, prefix="val/")
+    logger.message("hello")
+    logger.close()
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert lines[0]["loss"] == 2.5
+    assert lines[1]["val/loss"] == 1.5
+    assert lines[2]["msg"] == "hello"
+
+
+def test_simple_profiler():
+    prof = SimpleProfiler()
+    with prof.section("a"):
+        x = sum(range(1000))
+    with prof.section("a"):
+        pass
+    with prof.section("b"):
+        pass
+    out = prof.summary()
+    assert "a" in out and "b" in out
+    assert prof._count["a"] == 2
+    del x
