@@ -273,3 +273,26 @@ def test_control_val_losses_perfect_prediction():
     acc_steer, rev = losses.control_val_losses(full, gt_acc, gt_steer, gt_rev, TINY)
     assert float(acc_steer) < 1e-3  # quantization-level error
     assert float(rev) < 1e-3
+
+
+def test_forward_with_runtime_geometry(model_and_params):
+    """API parity: passing intrinsics/extrinsics routes through the dynamic
+    segment-sum splat and must agree with the static-plan path when the
+    geometry equals the built-in rig (reference forward signature,
+    bev_model.py:115-118)."""
+    model, variables = model_and_params
+    batch = tiny_batch()
+    intr, extr = geo.build_rig(TINY.image_crop, width=SIM.cam_fov_full_width,
+                               height=300, fov_deg=SIM.cam_fov_deg)
+    B = batch["images"].shape[0]
+    intr_b = jnp.tile(jnp.asarray(intr)[None], (B, 1, 1, 1))
+    extr_b = jnp.tile(jnp.asarray(extr)[None], (B, 1, 1, 1))
+
+    static_out = model.apply(
+        variables, batch["images"], batch["ego_motion"], batch["target_point"],
+        batch["gt_control"], train=False)
+    dyn_out = model.apply(
+        variables, batch["images"], batch["ego_motion"], batch["target_point"],
+        batch["gt_control"], train=False, intrinsics=intr_b, extrinsics=extr_b)
+    np.testing.assert_allclose(np.asarray(static_out[0]), np.asarray(dyn_out[0]),
+                               rtol=2e-2, atol=2e-2)
