@@ -90,13 +90,15 @@ class ClosedLoopEvaluator:
 
             for _ in range(sim_cfg.policy_every):
                 env = jax.vmap(lambda s, c: step_env(s, c, sim_cfg, eval_cfg))(env, control)
-            return (env, agent), env.status
+            trace = {"x": env.ego.x, "y": env.ego.y, "yaw": env.ego.yaw,
+                     "status": env.status}
+            return (env, agent), trace
 
         def rollout(env):
             agent = AgentState.init((env.ego.x.shape[0],))
-            (final, _), _ = jax.lax.scan(
+            (final, _), traj = jax.lax.scan(
                 policy_step, (env, agent), None, length=n_policy_steps)
-            return final
+            return final, traj
 
         return rollout
 
@@ -133,10 +135,44 @@ class ClosedLoopEvaluator:
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / n_iters
 
-    def run_epoch(self, seed: int):
-        """One epoch of the protocol. Returns the terminal EnvStates."""
+    def run_epoch(self, seed: int, return_traj: bool = False):
+        """One epoch of the protocol. Returns the terminal EnvStates (and,
+        optionally, the per-policy-step pose trace for replay rendering —
+        the reference's --show_eva_imgs live view, carla_parking_eva.py:35-45)."""
         env = self.make_epoch_envs(seed)
-        return jax.block_until_ready(self._rollout(env))
+        final, traj = jax.block_until_ready(self._rollout(env))
+        if return_traj:
+            return final, traj
+        return final
+
+    def save_replays(self, out_dir: str, seed: int = 0, attempts=(0,),
+                     stride: int = 3):
+        """Render eval attempts to GIFs from a recorded trajectory."""
+        import os
+
+        import numpy as np
+
+        from e2e_parking_carla_tpu.ops.dispatch import render_batch
+        from e2e_parking_carla_tpu.utils.viz import camera_grid, save_gif
+
+        os.makedirs(out_dir, exist_ok=True)
+        env0 = self.make_epoch_envs(seed)
+        final, traj = self.run_epoch(seed, return_traj=True)
+        paths = []
+        for a in attempts:
+            scene_a = jax.tree.map(lambda v: v[a][None], env0.scene)
+            frames = []
+            n_steps = traj["x"].shape[0]
+            for t in range(0, n_steps, stride):
+                if int(traj["status"][t, a]) != Status.RUNNING and t > 0:
+                    break
+                cams = render_batch(traj["x"][t, a][None], traj["y"][t, a][None],
+                                    traj["yaw"][t, a][None], scene_a, self.cfg.sim)
+                frames.append(camera_grid(np.asarray(cams["rgb"][0])))
+            path = os.path.join(out_dir, f"eval_attempt_{a}_status{int(final.status[a])}.gif")
+            save_gif(frames, path)
+            paths.append(path)
+        return paths
 
     # ------------------------------------------------------------------
     def run(self, out_dir: Optional[str] = None, epochs: Optional[int] = None,

@@ -74,3 +74,28 @@ def test_simple_profiler():
     assert "a" in out and "b" in out
     assert prof._count["a"] == 2
     del x
+
+
+def test_per_slot_metrics_csv():
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+
+    from e2e_parking_carla_tpu.config import EvalConfig
+    from e2e_parking_carla_tpu.eval.csv_io import per_slot_metrics
+    from e2e_parking_carla_tpu.sim.env import Status
+
+    cfg = EvalConfig(task_nums=2, parking_nums=2)
+
+    class F:  # minimal stand-in for terminal EnvStates
+        status = np.array([1, 1, 5, 7], np.int32)
+        final_pos_err = np.array([0.2, 0.4, 0.0, 0.0], np.float32)
+        final_orient_err = np.array([1.0, 3.0, 0.0, 0.0], np.float32)
+        final_time = np.array([10.0, 20.0, 0.0, 0.0], np.float32)
+
+    rows = per_slot_metrics(F, cfg, ait=0.05)
+    assert rows[0]["slot_id"] == "2-1" and rows[1]["slot_id"] == "2-3"
+    assert rows[0]["TSR"] == 100.0 and rows[0]["APE"] == np.float32(0.3)
+    assert rows[1]["CR"] == 50.0 and rows[1]["TR"] == 50.0
+    assert np.isnan(rows[1]["APE"])  # no successes in slot 2
+    assert rows[0]["AIT"] == 50.0
