@@ -107,7 +107,6 @@ def main(argv=None):
     from e2e_parking_carla_tpu.eval import ClosedLoopEvaluator
     from e2e_parking_carla_tpu.models import ParkingModel
     from e2e_parking_carla_tpu.train import checkpoints as ckpt_lib
-    from e2e_parking_carla_tpu.train.loop import train_loop  # noqa: F401
     from e2e_parking_carla_tpu.data.rollout import collect_episodes, make_batch
     from e2e_parking_carla_tpu.train import trainer as trainer_lib
 

@@ -50,7 +50,7 @@ def main(argv=None):
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
-    from e2e_parking_carla_tpu.config import Config, ModelConfig, SimConfig, TrainConfig, load_config
+    from e2e_parking_carla_tpu.config import Config, ModelConfig, SimConfig, load_config
     from e2e_parking_carla_tpu.models import ParkingModel
     from e2e_parking_carla_tpu.train import checkpoints as ckpt_lib
     from e2e_parking_carla_tpu.train.loop import train_loop

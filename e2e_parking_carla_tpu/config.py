@@ -14,7 +14,7 @@ block, reference config/training.yaml) so reference configs keep working.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Mapping, Sequence, Tuple
+from typing import Any, Mapping, Tuple
 
 # ---------------------------------------------------------------------------
 # Model

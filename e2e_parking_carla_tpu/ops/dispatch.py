@@ -4,7 +4,6 @@ pure-JAX reference implementation elsewhere (CPU tests, debugging)."""
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from e2e_parking_carla_tpu.config import SimConfig
 

@@ -14,8 +14,6 @@ reference needed a DDP process group for the same thing).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import optax

@@ -13,7 +13,7 @@ import json
 import os
 import sys
 import time
-from typing import Mapping, Optional
+from typing import Mapping
 
 
 class MetricLogger:

@@ -15,7 +15,7 @@ Headless-safe: with SDL_VIDEODRIVER=dummy the loop runs without a display
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import numpy as np

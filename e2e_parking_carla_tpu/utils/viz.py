@@ -103,7 +103,6 @@ def replay_episode(buffer, episode: int, cfg, path: str,
                    stride: int = 3, max_frames: Optional[int] = 80) -> str:
     """Render a stored EpisodeBuffer episode to a GIF (camera grid + BEV)."""
     import jax
-    import jax.numpy as jnp
 
     from e2e_parking_carla_tpu.ops.dispatch import render_batch
     from e2e_parking_carla_tpu.sim.bev import render_bev_seg
