@@ -26,6 +26,8 @@ def parse_args(argv=None):
     p.add_argument("--random_seed", type=int, default=0)
     p.add_argument("--expert", action="store_true",
                    help="evaluate the scripted expert instead of a model")
+    p.add_argument("--ckpt_step", type=int, default=None,
+                   help="checkpoint step to evaluate (default: latest)")
     p.add_argument("--no_speed_limit", action="store_true",
                    help="ablation: disable the agent speed-limit heuristics")
     p.add_argument("--smoke", action="store_true")
@@ -119,7 +121,7 @@ def main(argv=None):
     skeleton = trainer_lib.create_train_state(
         model, cfg, jax.random.PRNGKey(0), sample)
     mngr = ckpt_lib.CheckpointManager(args.model_path)
-    state = mngr.restore(skeleton, step=mngr.best_step() or mngr.latest_step())
+    state = mngr.restore(skeleton, step=args.ckpt_step or mngr.latest_step())
 
     ev = ClosedLoopEvaluator(
         model, {"params": state.params, "batch_stats": state.batch_stats}, cfg)

@@ -222,6 +222,8 @@ class EvalConfig:
     stall_boost_throttle: float = 0.3
     settle_seconds: float = 1.0
     use_speed_limit: bool = True  # paper Table III "w/o speed limit" ablation
+    env_chunk: int = 48  # envs rolled out per device call (HBM bound: the
+    # lift-splat point tensor is ~25 MB/env in bf16 plus f32 prefix sums)
 
 
 # ---------------------------------------------------------------------------

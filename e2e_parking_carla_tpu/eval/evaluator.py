@@ -138,9 +138,31 @@ class ClosedLoopEvaluator:
     def run_epoch(self, seed: int, return_traj: bool = False):
         """One epoch of the protocol. Returns the terminal EnvStates (and,
         optionally, the per-policy-step pose trace for replay rendering —
-        the reference's --show_eva_imgs live view, carla_parking_eva.py:35-45)."""
+        the reference's --show_eva_imgs live view, carla_parking_eva.py:35-45).
+
+        The fleet is rolled out in chunks of eval_cfg.env_chunk envs: the
+        per-env HBM footprint (lift-splat points + render buffers) caps how
+        many envs fit in one device program."""
         env = self.make_epoch_envs(seed)
-        final, traj = jax.block_until_ready(self._rollout(env))
+        n = int(env.ego.x.shape[0])
+        chunk = max(1, min(self.cfg.eval.env_chunk, n))
+        finals, trajs = [], []
+        for start in range(0, n, chunk):
+            sub = jax.tree.map(lambda a: a[start:start + chunk], env)
+            if sub.ego.x.shape[0] != chunk:  # pad the tail to a fixed shape
+                pad = chunk - int(sub.ego.x.shape[0])
+                sub = jax.tree.map(
+                    lambda a: jnp.concatenate(
+                        [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0), sub)
+                final, traj = jax.block_until_ready(self._rollout(sub))
+                final = jax.tree.map(lambda a: a[:-pad], final)
+                traj = jax.tree.map(lambda a: a[:, :-pad], traj)
+            else:
+                final, traj = jax.block_until_ready(self._rollout(sub))
+            finals.append(final)
+            trajs.append(traj)
+        final = jax.tree.map(lambda *a: jnp.concatenate(a, axis=0), *finals)
+        traj = jax.tree.map(lambda *a: jnp.concatenate(a, axis=1), *trajs)
         if return_traj:
             return final, traj
         return final

@@ -22,15 +22,27 @@ def experiment_dir(root: str, name: str = "exp") -> str:
 
 
 class CheckpointManager:
-    """Top-k-by-val-loss + always-keep-latest checkpoint manager."""
+    """Checkpoint manager: keep the latest k (default) or the top-k by
+    val_loss.
 
-    def __init__(self, directory: str, keep_top_k: int = 3):
-        options = ocp.CheckpointManagerOptions(
-            max_to_keep=keep_top_k,
-            best_fn=lambda metrics: metrics["val_loss"],
-            best_mode="min",
-            keep_checkpoints_without_metrics=True,
-        )
+    The reference keeps top-3-by-val_loss + last (pl_trainer.py:17-23), but
+    open-loop val loss turns out to be a poor selector for closed-loop
+    quality (adjacent checkpoints can swing between 0 and 67 TSR while val
+    differs in the 3rd decimal), so "latest" is the default policy here and
+    closed-loop evaluation picks among recent checkpoints.
+    """
+
+    def __init__(self, directory: str, keep_top_k: int = 5,
+                 by: str = "latest"):
+        if by == "val_loss":
+            options = ocp.CheckpointManagerOptions(
+                max_to_keep=keep_top_k,
+                best_fn=lambda metrics: metrics["val_loss"],
+                best_mode="min",
+                keep_checkpoints_without_metrics=True,
+            )
+        else:
+            options = ocp.CheckpointManagerOptions(max_to_keep=keep_top_k)
         self._mngr = ocp.CheckpointManager(
             os.path.abspath(directory), options=options)
 

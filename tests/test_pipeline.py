@@ -142,13 +142,21 @@ def test_param_sharding_replicated_without_tp(model_state):
 
 def test_checkpoint_roundtrip(model_state, tmp_path):
     _, state, _ = model_state
-    mngr = ckpt_lib.CheckpointManager(str(tmp_path / "ckpt"), keep_top_k=2)
+    mngr = ckpt_lib.CheckpointManager(str(tmp_path / "ckpt"), keep_top_k=2,
+                                      by="val_loss")
     mngr.save(1, state, metrics={"val_loss": 2.0})
     mngr.save(2, state, metrics={"val_loss": 1.0})
     mngr.save(3, state, metrics={"val_loss": 3.0})
     mngr.wait()
     assert mngr.best_step() == 2
     restored = mngr.restore(state, step=2)
+    # latest-k mode retains the most recent checkpoints
+    m2 = ckpt_lib.CheckpointManager(str(tmp_path / "ckpt2"), keep_top_k=2)
+    for i in (1, 2, 3):
+        m2.save(i, state, metrics={"val_loss": float(4 - i)})
+    m2.wait()
+    assert m2.latest_step() == 3
+    m2.close()
     chex_equal = jax.tree.map(
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
         state.params, restored.params)
