@@ -89,12 +89,18 @@ def train_loop(
 
     step = int(state.step)
     last_log = time.time()
-    next_refresh = refresh_every if refresh_every > 0 else total_steps + 1
-    next_val = val_every if val_every > 0 else total_steps + 1
+
+    def next_multiple(every):
+        if every <= 0:
+            return total_steps + 1
+        return ((step // every) + 1) * every
+
+    next_refresh = next_multiple(refresh_every)
+    next_val = next_multiple(val_every)
     while step < total_steps:
         if step >= next_refresh:
             buffer = collect(jax.random.fold_in(k_collect, step))
-            next_refresh += refresh_every
+            next_refresh = ((step // refresh_every) + 1) * refresh_every
         state, losses = run_chunk(state, buffer, jax.random.fold_in(k_batch, step))
         step = int(state.step)
 
