@@ -163,7 +163,14 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, tile_rows: int):
                 jnp.zeros(shape, jnp.float32),
                 jnp.zeros(shape, jnp.float32),
                 jnp.zeros(shape, jnp.float32))
-        t_box, vr, vg, vb = jax.lax.fori_loop(0, n_boxes, body, init)
+        if n_boxes <= 16:
+            # static unroll: lets Mosaic software-pipeline across boxes
+            carry = init
+            for k in range(n_boxes):
+                carry = body(k, carry)
+            t_box, vr, vg, vb = carry
+        else:
+            t_box, vr, vg, vb = jax.lax.fori_loop(0, n_boxes, body, init)
 
         # ---- ground shading ----
         pgx = owx + tg * dwx
