@@ -18,6 +18,9 @@ import argparse
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model_path", default=None, help="orbax checkpoint dir")
+    p.add_argument("--weights", default=None,
+                   help="portable weights artifact (.msgpack.gz) instead of "
+                        "an orbax checkpoint dir")
     p.add_argument("--model_config_path", default=None, help="YAML config")
     p.add_argument("--eva_epochs", type=int, default=4)
     p.add_argument("--eva_task_nums", type=int, default=16)
@@ -103,8 +106,8 @@ def main(argv=None):
         _eval_expert(cfg, args.eva_result_path, cfg.eval.epochs)
         return 0
 
-    if not args.model_path:
-        raise SystemExit("--model_path required (or use --expert)")
+    if not args.model_path and not args.weights:
+        raise SystemExit("--model_path or --weights required (or use --expert)")
 
     from e2e_parking_carla_tpu.eval import ClosedLoopEvaluator
     from e2e_parking_carla_tpu.models import ParkingModel
@@ -120,11 +123,16 @@ def main(argv=None):
         buf, jax.random.PRNGKey(1))
     skeleton = trainer_lib.create_train_state(
         model, cfg, jax.random.PRNGKey(0), sample)
-    mngr = ckpt_lib.CheckpointManager(args.model_path)
-    state = mngr.restore(skeleton, step=args.ckpt_step or mngr.latest_step())
+    if args.weights:
+        variables = ckpt_lib.load_weights_artifact(
+            args.weights, {"params": skeleton.params,
+                           "batch_stats": skeleton.batch_stats})
+    else:
+        mngr = ckpt_lib.CheckpointManager(args.model_path)
+        state = mngr.restore(skeleton, step=args.ckpt_step or mngr.latest_step())
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    ev = ClosedLoopEvaluator(
-        model, {"params": state.params, "batch_stats": state.batch_stats}, cfg)
+    ev = ClosedLoopEvaluator(model, variables, cfg)
     overall, _ = ev.run(out_dir=args.eva_result_path, epochs=cfg.eval.epochs)
     print("overall: " + " ".join(f"{k}={v:.2f}" for k, v in overall.items()))
     return 0

@@ -66,3 +66,40 @@ class CheckpointManager:
 
     def close(self):
         self._mngr.close()
+
+
+def save_weights_artifact(path: str, params, batch_stats, step: int = 0):
+    """Compact portable weights file (gzip msgpack of params + batch_stats) —
+    the distribution format for pretrained policies (the reference ships a
+    Lightning .ckpt on Google Drive, README.md:36)."""
+    import gzip
+
+    import jax
+    from flax import serialization
+
+    payload = serialization.to_bytes({
+        "params": jax.device_get(params),
+        "batch_stats": jax.device_get(batch_stats),
+        "step": int(step),
+    })
+    with gzip.open(path, "wb", compresslevel=6) as f:
+        f.write(payload)
+    return path
+
+
+def load_weights_artifact(path: str, skeleton_variables):
+    """Load a weights artifact into the structure of `skeleton_variables`
+    ({'params': ..., 'batch_stats': ...})."""
+    import gzip
+
+    from flax import serialization
+
+    with gzip.open(path, "rb") as f:
+        payload = f.read()
+    target = {
+        "params": skeleton_variables["params"],
+        "batch_stats": skeleton_variables.get("batch_stats", {}),
+        "step": 0,
+    }
+    restored = serialization.from_bytes(target, payload)
+    return {"params": restored["params"], "batch_stats": restored["batch_stats"]}
