@@ -57,8 +57,14 @@ class ClosedLoopEvaluator:
         cfg = self.cfg
         model_cfg, sim_cfg, eval_cfg = cfg.model, cfg.sim, cfg.eval
         n_policy_steps = eval_cfg.frames_total_needed // sim_cfg.policy_every + 2
+        # Attempt-start settle: the reference holds neutral control (and pins
+        # the spawn transform) for the first ~1 s of every attempt before the
+        # 10 Hz predict loop begins (agent/parking_agent.py:365-368). Our
+        # vehicle starts at rest, so neutral control is an exact equivalent.
+        settle_steps = round(eval_cfg.settle_seconds * sim_cfg.fps
+                             / sim_cfg.policy_every)
 
-        def policy_step(carry, _):
+        def policy_step(carry, t):
             env, agent = carry
             cams = render_batch(env.ego.x, env.ego.y, env.ego.yaw,
                                 env.scene, sim_cfg)
@@ -83,10 +89,19 @@ class ClosedLoopEvaluator:
 
             # the predicted-seg target feeds the NEXT cycle
             new_xy, found = jax.vmap(lambda s: target_from_seg(s, model_cfg))(seg)
-            agent = agent.replace(
+            new_agent = agent.replace(
                 prev_target_xy=jnp.where(found[:, None], new_xy, agent.prev_target_xy),
                 have_prev=agent.have_prev | found,
             )
+
+            # during the settle window: neutral control, no agent-state updates
+            # (the reference records nothing before frame 30)
+            settling = t < settle_steps
+            control = jax.tree.map(
+                lambda neutral, c: jnp.where(settling, neutral, c),
+                VehicleControl.zeros(control.throttle.shape), control)
+            agent = jax.tree.map(
+                lambda old, new: jnp.where(settling, old, new), agent, new_agent)
 
             for _ in range(sim_cfg.policy_every):
                 env = jax.vmap(lambda s, c: step_env(s, c, sim_cfg, eval_cfg))(env, control)
@@ -97,7 +112,7 @@ class ClosedLoopEvaluator:
         def rollout(env):
             agent = AgentState.init((env.ego.x.shape[0],))
             (final, _), traj = jax.lax.scan(
-                policy_step, (env, agent), None, length=n_policy_steps)
+                policy_step, (env, agent), jnp.arange(n_policy_steps))
             return final, traj
 
         return rollout

@@ -191,6 +191,18 @@ def test_closed_loop_eval_smoke(model_state, tmp_path):
     mean_path, std_path = aggregate_result_csvs(str(tmp_path))
     assert os.path.exists(mean_path) and os.path.exists(std_path)
 
+    # attempt-start settle (reference parking_agent.py:365-368): the ego
+    # holds its spawn pose for the first settle_seconds of every attempt
+    env0 = ev.make_epoch_envs(0)
+    _, traj = ev.run_epoch(0, return_traj=True)
+    settle_steps = round(cfg.eval.settle_seconds * cfg.sim.fps
+                         / cfg.sim.policy_every)
+    assert settle_steps >= 2
+    np.testing.assert_allclose(np.asarray(traj["x"][settle_steps - 1]),
+                               np.asarray(env0.ego.x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(traj["y"][settle_steps - 1]),
+                               np.asarray(env0.ego.y), atol=1e-5)
+
 
 def test_mesh_fsdp(model_state):
     """Full train step with ZeRO-3-style param sharding over 4 devices."""
