@@ -73,6 +73,63 @@ def build_bench(n_envs: int, render: bool = True, use_pallas: bool = True):
     return (states, est, jnp.float32(0.0)), run
 
 
+def check_render_correctness(n_envs: int = 4) -> None:
+    """Compare the compiled Pallas renderer against the pure-JAX renderer on
+    the CURRENT device (the only other place the Mosaic-compiled path runs is
+    this benchmark; unit tests exercise interpret mode on CPU). Raises on
+    divergence so a Mosaic-vs-interpret discrepancy can never publish a
+    benchmark number silently.
+
+    Two checks: (1) with culling disabled (all 64 boxes) the kernel must
+    match the pure renderer bit-for-bit — this isolates Mosaic codegen;
+    (2) at the default cull K the only allowed difference is the documented
+    LOD approximation (distant boxes dropped), bounded at 2% of pixels."""
+    from e2e_parking_carla_tpu.config import SimConfig
+    from e2e_parking_carla_tpu.ops.render import render_cameras_pallas
+    from e2e_parking_carla_tpu.sim import scene as scene_lib
+    from e2e_parking_carla_tpu.sim.camera import render_cameras
+    from e2e_parking_carla_tpu.sim.env import reset_env
+
+    import numpy as np
+
+    sim_cfg = SimConfig()
+    goals = jnp.asarray(scene_lib.EVAL_GOAL_INDICES)
+    key = jax.random.PRNGKey(7)
+    targets = goals[jax.random.randint(key, (n_envs,), 0, len(goals))]
+    goal_y = jnp.asarray(scene_lib.SLOT_XY)[targets, 1]
+    xs, ys, yaws = jax.vmap(scene_lib.datagen_start_pose)(
+        jax.random.split(key, n_envs), goal_y)
+    env = jax.vmap(reset_env)(
+        jax.random.split(jax.random.PRNGKey(8), n_envs), targets, xs, ys, yaws)
+
+    ref = jax.jit(jax.vmap(
+        lambda x, y, yaw, sc: render_cameras(x, y, yaw, sc, sim_cfg)
+    ))(env.ego.x, env.ego.y, env.ego.yaw, env.scene)
+
+    full = jax.jit(lambda: render_cameras_pallas(
+        env.ego.x, env.ego.y, env.ego.yaw, env.scene, sim_cfg,
+        n_boxes=sim_cfg.max_static_vehicles))()
+    for name, tol in (("rgb", 1e-5), ("depth", 1e-4)):
+        a = np.asarray(full[name], np.float32)
+        b = np.asarray(ref[name], np.float32)
+        err = np.abs(a - b).max()
+        if not np.isfinite(a).all() or err > tol:
+            raise AssertionError(
+                f"Pallas renderer (no cull) diverges from pure renderer "
+                f"on-device: {name} max|diff|={err:.3e} (tol {tol})")
+    if (np.asarray(full["sem"]) != np.asarray(ref["sem"])).any():
+        raise AssertionError("Pallas renderer (no cull) semantic id mismatch")
+
+    culled = jax.jit(lambda: render_cameras_pallas(
+        env.ego.x, env.ego.y, env.ego.yaw, env.scene, sim_cfg))()
+    frac = float((np.abs(np.asarray(culled["rgb"], np.float32)
+                         - np.asarray(ref["rgb"], np.float32)).max(-1)
+                  > 1e-3).mean())
+    if frac > 0.02:
+        raise AssertionError(
+            f"cull LOD error out of budget: {frac:.2%} of pixels differ")
+
+
 def main():
     n_envs = int(os.environ.get("BENCH_ENVS", "128"))
     n_steps = 30
@@ -92,6 +149,9 @@ def main():
 
     steps = n_envs * n_steps * iters
     steps_per_sec = steps / dt
+
+    # correctness gate (after timing so its compiles don't perturb it)
+    check_render_correctness()
     print(json.dumps({
         "metric": "env steps/sec/chip (4-cam 256x256 render + dynamics + expert)",
         "value": round(steps_per_sec, 1),
