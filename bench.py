@@ -45,12 +45,24 @@ def build_bench(n_envs: int, render: bool = True, use_pallas: bool = True):
         jax.random.split(jax.random.PRNGKey(1), n_envs), targets, xs, ys, yaws)
     est = ExpertState.init((n_envs,))
 
-    def body(carry, _):
+    render_every = int(os.environ.get("BENCH_RENDER_EVERY", "1"))
+
+    def body(carry, i):
         s, e, acc = carry
         ctrl, e = jax.vmap(lambda a, b, c: expert_policy(a, b, c, sim_cfg))(
             s.ego, s.scene, e)
         s = jax.vmap(lambda st, c: step_env(st, c, sim_cfg, eval_cfg))(s, ctrl)
-        if render:
+        if render and render_every > 1:
+            # policy-rate mode: render only on policy-cadence frames (what
+            # training and eval actually consume, parking_agent.py:228)
+            def do_render(st):
+                cams = render_cameras_pallas(
+                    st.ego.x, st.ego.y, st.ego.yaw, st.scene, sim_cfg)
+                return jnp.sum(cams["rgb"]) + jnp.sum(cams["depth"])
+
+            sink = jax.lax.cond(i % render_every == 0, do_render,
+                                lambda st: jnp.float32(0.0), s)
+        elif render:
             if use_pallas:
                 cams = render_cameras_pallas(
                     s.ego.x, s.ego.y, s.ego.yaw, s.scene, sim_cfg)
@@ -67,7 +79,7 @@ def build_bench(n_envs: int, render: bool = True, use_pallas: bool = True):
 
     @functools.partial(jax.jit, static_argnums=(1,))
     def run(carry, n_steps):
-        (s, e, acc), _ = jax.lax.scan(body, carry, None, length=n_steps)
+        (s, e, acc), _ = jax.lax.scan(body, carry, jnp.arange(n_steps))
         return (s, e, acc)
 
     return (states, est, jnp.float32(0.0)), run
@@ -131,7 +143,7 @@ def check_render_correctness(n_envs: int = 4) -> None:
 
 
 def main():
-    n_envs = int(os.environ.get("BENCH_ENVS", "128"))
+    n_envs = int(os.environ.get("BENCH_ENVS", "256"))
     n_steps = 30
     carry, run = build_bench(n_envs, render=True)
 
@@ -152,8 +164,12 @@ def main():
 
     # correctness gate (after timing so its compiles don't perturb it)
     check_render_correctness()
+    every = os.environ.get("BENCH_RENDER_EVERY", "1")
+    metric = ("env steps/sec/chip (4-cam 256x256 render + dynamics + expert)"
+              if every == "1" else
+              f"env steps/sec/chip (render every {every} frames: policy rate)")
     print(json.dumps({
-        "metric": "env steps/sec/chip (4-cam 256x256 render + dynamics + expert)",
+        "metric": metric,
         "value": round(steps_per_sec, 1),
         "unit": "steps/s/chip",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 4),

@@ -49,6 +49,11 @@ class ModelConfig:
     final_dim: Tuple[int, int] = (256, 256)
     bev_down_sample: int = 8
     use_depth_distribution: bool = True
+    # "pull": fused lift+splat (each voxel gathers its static contributors;
+    # no point-tensor materialization, exact gather-only VJP).
+    # "cumsum": the round-1 sorted-prefix-sum path (kept as the
+    # reference/parity implementation).
+    splat_mode: str = "pull"
     backbone: str = "efficientnet-b4"
 
     # Segmentation
@@ -252,6 +257,21 @@ class TrainConfig:
 
     seed: int = 42
     keep_top_k: int = 3  # top-k checkpoints by val_loss (pl_trainer.py:17-23)
+
+    # parameter EMA decay for the deploy/eval weights (0 disables). Not in
+    # the reference; added because closed-loop TSR is extremely sensitive to
+    # the exact SGD iterate (STATUS round 1).
+    ema_decay: float = 0.999
+
+    # DAgger: fraction of each refreshed buffer collected by rolling out the
+    # CURRENT policy with expert-correction labels (0 = pure behavioral
+    # cloning, the reference's setting). The expert is queryable at every
+    # state on device, so corrections are nearly free.
+    dagger_envs_frac: float = 0.25
+    # probability per env-step that the EXPERT's action (not the policy's)
+    # is executed during DAgger collection (beta-mixture; keeps rollouts
+    # from leaving the recoverable-state manifold early in training)
+    dagger_expert_mix: float = 0.5
 
     # mesh axes: batch is sharded over 'data'; attention heads / mlp hidden
     # over 'model' when model_axis > 1

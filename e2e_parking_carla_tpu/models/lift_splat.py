@@ -115,6 +115,162 @@ def splat_static(points, plan: SplatPlan):
     return sums.reshape(B, X, Y, C)
 
 
+class PullPlan(NamedTuple):
+    """Host-precomputed pull-mode splat pattern (see make_pull_splat)."""
+
+    buckets: tuple  # of (pix (V,K) i32, bin (V,K) i32) — padded bins == D
+    voxel_order: np.ndarray  # (XY,) i32 row into concat'd bucket outputs;
+    # empty voxels point at the trailing zero row
+    rank_qd: np.ndarray  # (Q, D) i32 voxel rank per (pixel, bin); XY if
+    # out-of-grid (routes to a zero gradient row)
+    grid: tuple  # (X, Y)
+    n_rows: int  # total bucket output rows (excl. the zero row)
+
+
+# candidate per-voxel contributor capacities; each voxel lands in the
+# smallest bucket that fits its run (measured distribution for the b4 rig:
+# mean 3.75, p90 10, max 128 — so padding overhead stays small)
+_BUCKET_SIZES = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128)
+
+
+@functools.lru_cache(maxsize=4)
+def build_pull_plan(model_cfg: ModelConfig = ModelConfig(),
+                    sim_cfg: SimConfig = SimConfig()) -> PullPlan:
+    """Transpose the static splat pattern: per VOXEL, the (pixel, depth-bin)
+    sources that sum into it, bucketed by run length.
+
+    This is the plan for `make_pull_splat` — the roles of gather and scatter
+    are swapped relative to splat_static, which is what makes both the
+    forward and the backward pure static gathers.
+    """
+    intr, extr = geo.build_rig(model_cfg.image_crop,
+                               width=sim_cfg.cam_fov_full_width,
+                               height=300, fov_deg=sim_cfg.cam_fov_deg)
+    frustum = geo.create_frustum(model_cfg.final_dim, model_cfg.bev_down_sample,
+                                 model_cfg.d_bound)
+    pts = geo.frustum_to_ego(frustum, intr, extr)  # (N, D, h, w, 3)
+    N, D, h, w, _ = pts.shape
+    Q = N * h * w
+    res, start, dim = geo.bev_grid_parameters(
+        model_cfg.bev_x_bound, model_cfg.bev_y_bound, model_cfg.bev_z_bound)
+    X, Y, Z = int(dim[0]), int(dim[1]), int(dim[2])
+
+    vox = np.floor((pts - (start - res / 2.0)) / res).astype(np.int64)
+    flat = vox.reshape(-1, 3)
+    ok = (
+        (flat[:, 0] >= 0) & (flat[:, 0] < X)
+        & (flat[:, 1] >= 0) & (flat[:, 1] < Y)
+        & (flat[:, 2] >= 0) & (flat[:, 2] < Z)
+    )
+    rank = np.where(ok, flat[:, 0] * Y + flat[:, 1], X * Y)
+
+    # point p (ordered N, D, h, w) -> pixel q = (n, i, j) and bin d
+    n_i, d_i, i_i, j_i = np.unravel_index(np.arange(flat.shape[0]), (N, D, h, w))
+    pix = (n_i * h * w + i_i * w + j_i).astype(np.int32)
+    dbin = d_i.astype(np.int32)
+    rank_qd = np.full((Q, D), X * Y, np.int32)
+    rank_qd[pix, dbin] = rank.astype(np.int32)
+
+    # group in-grid points by voxel
+    order = np.argsort(rank, kind="stable")
+    order = order[rank[order] < X * Y]
+    sorted_rank = rank[order]
+    voxels, run_starts = np.unique(sorted_rank, return_index=True)
+    run_lens = np.diff(np.append(run_starts, len(order)))
+
+    sizes = np.asarray(_BUCKET_SIZES)
+    cap = sizes[np.searchsorted(sizes, run_lens)]
+    buckets = []
+    voxel_order = np.full(X * Y, -1, np.int64)
+    row = 0
+    for K in _BUCKET_SIZES:
+        sel = np.where(cap == K)[0]
+        if len(sel) == 0:
+            continue
+        V = len(sel)
+        bpix = np.zeros((V, K), np.int32)
+        bbin = np.full((V, K), D, np.int32)  # pad bin D -> zero weight
+        for r, vi in enumerate(sel):
+            s, L = run_starts[vi], run_lens[vi]
+            src = order[s:s + L]
+            bpix[r, :L] = pix[src]
+            bbin[r, :L] = dbin[src]
+        buckets.append((bpix, bbin))
+        voxel_order[voxels[sel]] = row + np.arange(V)
+        row += V
+    voxel_order[voxel_order < 0] = row  # empty voxels -> zero row
+    return PullPlan(buckets=tuple(buckets),
+                    voxel_order=voxel_order.astype(np.int32),
+                    rank_qd=rank_qd, grid=(X, Y), n_rows=row)
+
+
+@functools.lru_cache(maxsize=4)
+def make_pull_splat(model_cfg: ModelConfig = ModelConfig(),
+                    sim_cfg: SimConfig = SimConfig()):
+    """Fused lift+splat, pull mode: (feat (B,N,h,w,C), depth_prob
+    (B,N,h,w,D)) -> BEV (B,X,Y,C), never materializing the (P, C) point
+    tensor (the reference materializes AND sorts it every step,
+    bev_model.py:59-107).
+
+    Forward: each voxel gathers its static (pixel, bin) contributors and
+    reduces - a handful of static gathers + one weighted-sum einsum per run-
+    length bucket. Backward (custom VJP, exact): each RAY gathers the
+    output-gradient rows of the voxels it hit (the static (Q, D) rank
+    table) - again pure gathers, where jax's native transpose would emit a
+    TPU scatter-add. f32 accumulation either way.
+    """
+    plan = build_pull_plan(model_cfg, sim_cfg)
+    X, Y = plan.grid
+    Q, D = plan.rank_qd.shape
+    # keep the index tables as NUMPY in the closure: this factory is
+    # lru-cached and may first run inside a jit trace, where jnp.asarray
+    # would capture trace-local constants (leaked-tracer bug)
+    buckets = plan.buckets
+    voxel_order = plan.voxel_order
+    rank_qd = plan.rank_qd
+
+    def _fwd_impl(feat, dp):
+        B, C = feat.shape[0], feat.shape[-1]
+        f2 = feat.reshape(B, Q, C)
+        # bin index D reads the zero pad -> padded slots contribute nothing
+        dp_pad = jnp.concatenate(
+            [dp.reshape(B, Q, D), jnp.zeros((B, Q, 1), dp.dtype)], axis=-1)
+        outs = []
+        for bpix, bbin in buckets:
+            w = dp_pad[:, bpix, bbin]  # (B, V, K)
+            f = f2[:, bpix]  # (B, V, K, C)
+            outs.append(jnp.einsum("bvk,bvkc->bvc", w, f,
+                                   preferred_element_type=jnp.float32))
+        outs.append(jnp.zeros((B, 1, C), jnp.float32))
+        rows = jnp.concatenate(outs, axis=1)
+        bev = jnp.take(rows, voxel_order, axis=1)
+        return bev.reshape(B, X, Y, C)
+
+    @jax.custom_vjp
+    def pull_splat(feat, dp):
+        return _fwd_impl(feat, dp)
+
+    def fwd(feat, dp):
+        return _fwd_impl(feat, dp), (feat, dp)
+
+    def bwd(res, g):
+        feat, dp = res
+        B, N, h, w, C = feat.shape
+        g_rows = g.reshape(B, X * Y, C)
+        g_pad = jnp.concatenate(
+            [g_rows, jnp.zeros((B, 1, C), g.dtype)], axis=1)
+        gq = g_pad[:, rank_qd]  # (B, Q, D, C) — grad rows each ray hit
+        dfeat = jnp.einsum("bqd,bqdc->bqc", dp.reshape(B, Q, D), gq,
+                           preferred_element_type=jnp.float32)
+        ddp = jnp.einsum("bqc,bqdc->bqd", feat.reshape(B, Q, C), gq,
+                         preferred_element_type=jnp.float32)
+        return (dfeat.reshape(feat.shape).astype(feat.dtype),
+                ddp.reshape(dp.shape).astype(dp.dtype))
+
+    pull_splat.defvjp(fwd, bwd)
+    return pull_splat
+
+
 def splat_dynamic(points, geom_ego, model_cfg: ModelConfig):
     """Runtime-geometry fallback: segment-sum by computed voxel rank.
 

@@ -30,6 +30,7 @@ from e2e_parking_carla_tpu.models.control_decoder import ControlDecoder, MLPCont
 from e2e_parking_carla_tpu.models.fusion import FeatureFusion
 from e2e_parking_carla_tpu.models.lift_splat import (
     build_splat_plan,
+    make_pull_splat,
     frustum_geometry,
     lift,
     splat_dynamic,
@@ -100,11 +101,19 @@ class ParkingModel(nn.Module):
         else:
             depth_logits = depth_logits.reshape(B, N, h, w, -1)
 
-        points, _ = lift(feat, depth_logits, cfg.use_depth_distribution)
         if intrinsics is None or extrinsics is None:
-            plan = build_splat_plan(cfg, self.sim_cfg)
-            bev = splat_static(points, plan)
+            if cfg.splat_mode == "pull":
+                # fused path: no (P, C) point tensor is ever formed
+                dp = (jax.nn.softmax(depth_logits, axis=-1)
+                      if cfg.use_depth_distribution
+                      else jnp.ones_like(depth_logits))
+                bev = make_pull_splat(cfg, self.sim_cfg)(feat, dp)
+            else:
+                points, _ = lift(feat, depth_logits, cfg.use_depth_distribution)
+                plan = build_splat_plan(cfg, self.sim_cfg)
+                bev = splat_static(points, plan)
         else:
+            points, _ = lift(feat, depth_logits, cfg.use_depth_distribution)
             geom = frustum_geometry(intrinsics, extrinsics, cfg)
             bev = splat_dynamic(points, geom, cfg)
         bev = bev.astype(self.dtype)

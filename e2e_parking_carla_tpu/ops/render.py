@@ -5,18 +5,25 @@ per-pixel nearest-hit carry living in HBM — ~64 round trips over megabytes
 of carry per frame, HBM-bound. This kernel fuses the whole render per pixel
 tile in VMEM:
 
-* pixel rays (vehicle frame) are static planes laid out (P/128, 128),
-* one grid cell = (env, pixel-tile); the box loop runs inside the kernel
-  with the nearest-hit state in registers/VMEM — the carry never leaves
-  the chip,
-* one pixel tile = one camera, and boxes are pre-culled per (env, camera)
-  to the K nearest slots in front of that camera (a masked top_k outside
-  the kernel), passed as scalars in SMEM,
+* one grid cell = (env, pixel tile); a pixel tile is one AZIMUTH SECTOR of
+  one camera (the image is laid out column-major per sector so each tile is
+  a contiguous block of columns),
+* boxes are pre-culled per (env, camera, sector) by exact conservative
+  azimuth-overlap + distance tests (host-side static sector spans, a masked
+  top_k outside the kernel), so interior tiles pay for the 2-4 boxes that
+  can actually intersect them instead of every vehicle in the lot,
+* the box loop runs inside the kernel with the nearest-hit state in
+  registers/VMEM — the carry never leaves the chip,
+* all pose-independent per-pixel quantities — ground-hit distance, sky
+  elevation, the vehicle-height z-slab — come from the SAME host-precomputed
+  static tables the pure renderer consumes (sim/camera.py:
+  static_ray_tables), which removes per-frame divisions/rsqrts AND keeps the
+  two implementations bit-identical,
 * ground slot-line markings are computed analytically (the same closed form
   as sim/camera.py: 4 row lines + 16 slot-center lines), no texture gathers.
 
-Outputs match render_cameras() bit-for-bit in structure: rgb [0,1], plane
-depth (meters), semantic ids.
+Outputs match render_cameras() bit-for-bit (bench.py enforces this on
+hardware with culling disabled).
 """
 
 from __future__ import annotations
@@ -34,24 +41,46 @@ from e2e_parking_carla_tpu.sim import scene as scene_lib
 from e2e_parking_carla_tpu.sim import camera as cam_lib
 
 LANES = 128
-BOX_FIELDS = 8  # cx, cy, cos, sin, r, g, b, valid
+BOX_FIELDS = 5  # cx, cy, cos, sin, color-code (palette index, -1 = invalid)
 ENV_FIELDS = 16
+SECTORS = 8  # azimuth sectors (column bands) per camera
 
 
-def _ray_planes(sim_cfg: SimConfig):
-    """Static pixel-ray planes: 6 arrays of shape (P/128, 128)."""
-    dirs, origins = cam_lib.camera_rays(sim_cfg)  # (4,H,W,3), (4,3)
-    N, H, W, _ = dirs.shape
-    P = N * H * W
-    assert P % LANES == 0
-    flat_dirs = dirs.reshape(P, 3)
-    flat_orig = np.repeat(origins, H * W, axis=0)  # (P, 3)
-    rows = P // LANES
-    return tuple(
-        a.reshape(rows, LANES).astype(np.float32)
-        for a in (flat_dirs[:, 0], flat_dirs[:, 1], flat_dirs[:, 2],
-                  flat_orig[:, 0], flat_orig[:, 1], flat_orig[:, 2])
-    )
+@functools.lru_cache(maxsize=4)
+def _static_tables(sim_cfg: SimConfig, n_sectors: int = SECTORS):
+    """Sector-ordered static pixel planes + per-sector azimuth spans.
+
+    Pixel order is (camera, sector, row, col-within-sector) so one pallas
+    tile = one sector. Returns (planes dict of (rows, 128) f32, az_center
+    (4, S), az_half (4, S), origins (4, 3))."""
+    tab = cam_lib.static_ray_tables(sim_cfg)
+    N, H, W = tab["dx"].shape
+    Ws = W // n_sectors
+    assert W % n_sectors == 0 and (H * Ws) % LANES == 0
+
+    def sectorize(a):
+        # (N, H, W) -> (N, S, H, Ws) -> (rows, LANES)
+        a = a.reshape(N, H, n_sectors, Ws).transpose(0, 2, 1, 3)
+        return np.ascontiguousarray(a).reshape(-1, LANES).astype(np.float32)
+
+    # per-pixel camera origin (constant within a camera)
+    org = tab["origins"]
+    ox = np.broadcast_to(org[:, 0, None, None], (N, H, W))
+    oy = np.broadcast_to(org[:, 1, None, None], (N, H, W))
+    planes = {k: sectorize(tab[k]) for k in ("dx", "dy", "tg", "elev", "zn", "zf")}
+    planes["ox"] = sectorize(ox)
+    planes["oy"] = sectorize(oy)
+
+    # exact horizontal azimuth span of each sector (vehicle frame, radians):
+    # circular center + max deviation over the sector's pixels
+    az = np.arctan2(tab["dy"].astype(np.float64), tab["dx"].astype(np.float64))
+    az = az.reshape(N, H, n_sectors, Ws).transpose(0, 2, 1, 3)
+    center = np.arctan2(np.sin(az).mean(axis=(2, 3)), np.cos(az).mean(axis=(2, 3)))
+    dev = az - center[:, :, None, None]
+    dev = (dev + np.pi) % (2 * np.pi) - np.pi
+    half = np.abs(dev).max(axis=(2, 3))
+    return (planes, center.astype(np.float32), half.astype(np.float32),
+            org.astype(np.float32))
 
 
 def _line_intensity(px, py):
@@ -70,20 +99,19 @@ def _line_intensity(px, py):
     return jnp.where(on_x | on_y, 1.0, 0.0)
 
 
-def _make_kernel(sim_cfg: SimConfig, n_boxes: int, tile_rows: int):
+def _make_kernel(sim_cfg: SimConfig, n_boxes: int):
     hl = float(sim_cfg.npc_half_length)
     hw = float(sim_cfg.npc_half_width)
-    hh = float(cam_lib.VEHICLE_HALF_HEIGHT)
     sl = float(sim_cfg.slot_half_length)
     sw = float(sim_cfg.slot_half_width)
     SKY = cam_lib.SKY_DEPTH
     eps = 1e-8
 
-    def kernel(env_ref, boxes_ref, dx_ref, dy_ref, dz_ref,
-               ox_ref, oy_ref, oz_ref,
+    def kernel(env_ref, boxes_ref, pal_ref, dx_ref, dy_ref, ox_ref, oy_ref,
+               tg_ref, elev_ref, zn_ref, zf_ref,
                r_ref, g_ref, b_ref, depth_ref, sem_ref):
+        t = pl.program_id(0)
         e = pl.program_id(1)
-        cam = pl.program_id(0)
         ex = env_ref[e, 0]
         ey = env_ref[e, 1]
         c = env_ref[e, 2]
@@ -97,41 +125,38 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, tile_rows: int):
 
         dxv = dx_ref[:]
         dyv = dy_ref[:]
-        dzv = dz_ref[:]
         dwx = dxv * c - dyv * s
         dwy = dxv * s + dyv * c
-        dwz = dzv
         owx = ox_ref[:] * c - oy_ref[:] * s + ex
         owy = ox_ref[:] * s + oy_ref[:] * c + ey
-        owz = oz_ref[:]
 
-        # ---- ground plane ----
-        safe_dz = jnp.where(jnp.abs(dwz) < eps,
-                            jnp.where(dwz >= 0, eps, -eps), dwz)
-        tg = -owz / safe_dz
-        ground_hit = (dwz < -1e-6) & (tg > 0)
-        tg = jnp.where(ground_hit, tg, SKY)
+        # ---- ground plane: hit distance is a static table ----
+        tg = tg_ref[:]
 
         # ---- box loop: nearest hit stays in VMEM ----
+        n2 = zn_ref[:]
+        f2 = zf_ref[:]
+
         def body(k, carry):
             t_best, vr, vg, vb = carry
-            cx = boxes_ref[e, cam, k * BOX_FIELDS + 0]
-            cy = boxes_ref[e, cam, k * BOX_FIELDS + 1]
-            cb = boxes_ref[e, cam, k * BOX_FIELDS + 2]
-            sb = boxes_ref[e, cam, k * BOX_FIELDS + 3]
-            col_r = boxes_ref[e, cam, k * BOX_FIELDS + 4]
-            col_g = boxes_ref[e, cam, k * BOX_FIELDS + 5]
-            col_b = boxes_ref[e, cam, k * BOX_FIELDS + 6]
-            bvalid = boxes_ref[e, cam, k * BOX_FIELDS + 7]
+            base = t * (n_boxes * BOX_FIELDS) + k * BOX_FIELDS
+            cx = boxes_ref[e, base + 0]
+            cy = boxes_ref[e, base + 1]
+            cb = boxes_ref[e, base + 2]
+            sb = boxes_ref[e, base + 3]
+            code = boxes_ref[e, base + 4]
+            bvalid = code  # >= 0 iff valid
+            ci = jnp.maximum(code, 0.0).astype(jnp.int32)
+            col_r = pal_ref[ci * 3 + 0]
+            col_g = pal_ref[ci * 3 + 1]
+            col_b = pal_ref[ci * 3 + 2]
 
             relx = owx - cx
             rely = owy - cy
             o0 = relx * cb + rely * sb
             o1 = -relx * sb + rely * cb
-            o2 = owz - hh
             d0 = dwx * cb + dwy * sb
             d1 = -dwx * sb + dwy * cb
-            d2 = dwz
 
             def slab(o, d, half):
                 guarded = jnp.where(jnp.abs(d) < eps,
@@ -143,10 +168,9 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, tile_rows: int):
 
             n0, f0 = slab(o0, d0, hl)
             n1, f1 = slab(o1, d1, hw)
-            n2, f2 = slab(o2, d2, hh)
             tmin = jnp.maximum(n0, jnp.maximum(n1, n2))
             tmax = jnp.minimum(f0, jnp.minimum(f1, f2))
-            hit = (bvalid > 0.5) & (tmax >= tmin) & (tmax > 0) & (tmin > 0) \
+            hit = (bvalid >= 0.0) & (tmax >= tmin) & (tmax > 0) & (tmin > 0) \
                 & (tmin < t_best)
             # entry face -> lambert-ish factor (x faces 0.75, y 0.9, top 1.0)
             f_light = jnp.where(
@@ -182,9 +206,8 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, tile_rows: int):
         gg = jnp.where(in_target, gray * 0.4, gray)
         gb = jnp.where(in_target, gray * 0.4, gray)
 
-        # ---- sky ----
-        norm = jax.lax.rsqrt(dwx * dwx + dwy * dwy + dwz * dwz + eps)
-        elev = jnp.clip(dwz * norm, 0.0, 1.0)
+        # ---- sky (elevation factor is a static table) ----
+        elev = elev_ref[:]
         hor_r = sky_r * 0.8 + 0.18
         hor_g = sky_g * 0.8 + 0.18
         hor_b = sky_b * 0.8 + 0.18
@@ -211,23 +234,40 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, tile_rows: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("sim_cfg", "n_boxes", "interpret"))
+def _wrap(a):
+    return (a + np.pi) % (2.0 * np.pi) - np.pi
+
+
+@functools.partial(jax.jit, static_argnames=("sim_cfg", "n_boxes", "interpret",
+                                              "n_sectors"))
 def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
-                          weather=None, n_boxes: int = 10,
-                          interpret: bool = False):
+                          weather=None, n_boxes: int = 3,
+                          interpret: bool = False, n_sectors: int = SECTORS):
     """Batched fused render. ego_* are (E,); scene is a batched SceneState.
+
+    n_boxes: candidate boxes kept per (camera, sector) tile — the culling
+    keeps the nearest n_boxes that can geometrically intersect the sector
+    (>= NUM_SLOTS disables culling: exact).
 
     Returns dict rgb (E, 4, H, W, 3), depth (E, 4, H, W), sem (E, 4, H, W).
     """
     E = ego_x.shape[0]
     H, W = sim_cfg.cam_height, sim_cfg.cam_width
-    P = 4 * H * W
-    rows = P // LANES
-    tile_rows = (H * W) // LANES  # one tile == one camera's pixels
-    assert tile_rows % 8 == 0 and rows == 4 * tile_rows
-    n_tiles = 4
+    # Mosaic needs tile sublanes % 8 == 0: drop to fewer sectors for small
+    # test images (256^2 supports 8 sectors; 64^2 supports 4)
+    while n_sectors > 1 and (W % n_sectors != 0
+                             or (H * (W // n_sectors)) % (8 * LANES) != 0):
+        n_sectors //= 2
+    Ws = W // n_sectors
+    tile_rows = (H * Ws) // LANES
+    assert tile_rows % 8 == 0
+    rows = 4 * n_sectors * tile_rows
+    n_tiles = 4 * n_sectors
+    n_boxes = min(n_boxes, scene_lib.NUM_SLOTS)
 
-    planes = tuple(jnp.asarray(p) for p in _ray_planes(sim_cfg))
+    planes_np, az_center, az_half, origins = _static_tables(sim_cfg, n_sectors)
+    planes = tuple(jnp.asarray(planes_np[k])
+                   for k in ("dx", "dy", "ox", "oy", "tg", "elev", "zn", "zf"))
 
     if weather is None:
         weather = jnp.zeros((E,), jnp.int32)
@@ -245,50 +285,65 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
     env_scalars = env_scalars.at[:, 6].set(wrow[:, 0])
     env_scalars = env_scalars.at[:, 7:10].set(wrow[:, 1:4])
 
-    # cull per (env, camera): the K nearest occupied slots that are not
-    # clearly behind the camera's horizontal forward axis (conservative: a
-    # box within its own radius of the image plane is kept; fov 100 deg
-    # means anything truly visible passes this half-space-with-margin test)
-    cam_fwd_veh = jnp.asarray([[1.0, 0.0], [0.0, -1.0], [0.0, 1.0], [-1.0, 0.0]])
-    cam_off_veh = jnp.asarray(
-        [[geo_spec["x"], geo_spec["y"]] for geo_spec in
-         (dict(x=1.5, y=0.0), dict(x=0.0, y=-0.8), dict(x=0.0, y=0.8),
-          dict(x=-2.2, y=0.0))])
+    # ---- cull per (env, camera, sector): exact conservative test ----
+    # box position in the vehicle frame, relative to each camera origin
     c_yaw, s_yaw = jnp.cos(ego_yaw), jnp.sin(ego_yaw)  # (E,)
+    rx = slot_xy[None, :, 0] - ego_x[:, None]  # (E, S)
+    ry = slot_xy[None, :, 1] - ego_y[:, None]
+    relv_x = rx * c_yaw[:, None] + ry * s_yaw[:, None]  # R(-yaw)
+    relv_y = -rx * s_yaw[:, None] + ry * c_yaw[:, None]
+    cam_xy = jnp.asarray(origins[:, :2])  # (4, 2) vehicle frame
+    relc_x = relv_x[:, None, :] - cam_xy[None, :, 0, None]  # (E, 4, S)
+    relc_y = relv_y[:, None, :] - cam_xy[None, :, 1, None]
+    d2 = relc_x * relc_x + relc_y * relc_y
+    dist = jnp.sqrt(d2)
+    az_box = jnp.arctan2(relc_y, relc_x)  # (E, 4, S) vehicle frame
+    r_box = float(np.hypot(sim_cfg.npc_half_length, sim_cfg.npc_half_width))
+    ang_half = jnp.arcsin(jnp.clip(r_box / jnp.maximum(dist, r_box), 0.0, 1.0))
+    inside = dist <= r_box  # camera inside the box radius: always keep
 
-    def rot(v):
-        return jnp.stack([v[..., 0] * c_yaw[:, None] - v[..., 1] * s_yaw[:, None],
-                          v[..., 0] * s_yaw[:, None] + v[..., 1] * c_yaw[:, None]],
-                         axis=-1)
-
-    fwd_w = rot(jnp.broadcast_to(cam_fwd_veh, (E, 4, 2)))  # (E, 4, 2)
-    cam_pos = rot(jnp.broadcast_to(cam_off_veh, (E, 4, 2))) \
-        + jnp.stack([ego_x, ego_y], -1)[:, None, :]
-    rel = slot_xy[None, None, :, :] - cam_pos[:, :, None, :]  # (E, 4, S, 2)
-    front = jnp.einsum("ecsd,ecd->ecs", rel, fwd_w) > -3.0
-    d2 = jnp.sum(rel * rel, axis=-1)  # (E, 4, S)
-    vis = scene.npc_valid[:, None, :] & front & (d2 < 45.0 ** 2)
-    d2 = jnp.where(vis, d2, jnp.inf)
-    _, top_idx = jax.lax.top_k(-d2, n_boxes)  # (E, 4, K)
+    centers = jnp.asarray(az_center)  # (4, S_sec)
+    halves = jnp.asarray(az_half)
+    dev = az_box[:, :, None, :] - centers[None, :, :, None]  # (E,4,sec,S)
+    dev = (dev + np.pi) % (2.0 * np.pi) - np.pi
+    overlap = jnp.abs(dev) <= (halves[None, :, :, None]
+                               + ang_half[:, :, None, :] + 0.02)
+    vis = (scene.npc_valid[:, None, None, :]
+           & (overlap | inside[:, :, None, :])
+           & (d2[:, :, None, :] < 45.0 ** 2))
+    d2s = jnp.where(vis, d2[:, :, None, :], jnp.inf)  # (E, 4, sec, S)
+    # K nearest by repeated argmin-extract: K cheap reduces instead of a
+    # full lax.top_k sort (measured 3.8 ms/frame-batch on v5e, ~40% of the
+    # whole render)
+    slot_iota = jnp.arange(slot_xy.shape[0], dtype=jnp.int32)
+    picks = []
+    for _ in range(n_boxes):
+        i = jnp.argmin(d2s, axis=-1).astype(jnp.int32)  # (E, 4, sec)
+        picks.append(i)
+        d2s = jnp.where(slot_iota == i[..., None], jnp.inf, d2s)
+    top_idx = jnp.stack(picks, axis=-1)  # (E, 4, sec, K)
     palette = jnp.asarray(cam_lib._vehicle_palette())
 
     def pack_boxes(idx, vis_row, yaw_row):
+        # idx (4, sec, K); vis/yaw rows (4, sec, S)
         sel_xy = slot_xy[idx]
         sel_yaw = jnp.take_along_axis(yaw_row, idx, axis=-1)
-        sel_valid = jnp.take_along_axis(vis_row, idx, axis=-1).astype(jnp.float32)
-        sel_col = palette[idx]
+        sel_valid = jnp.take_along_axis(vis_row, idx, axis=-1)
+        # color code doubles as the valid flag: palette index, -1 = invalid
+        code = jnp.where(sel_valid, idx.astype(jnp.float32), -1.0)
         return jnp.concatenate([
             sel_xy,
             jnp.cos(sel_yaw)[..., None], jnp.sin(sel_yaw)[..., None],
-            sel_col,
-            sel_valid[..., None],
-        ], axis=-1).reshape(4, -1)  # (4, K * BOX_FIELDS)
+            code[..., None],
+        ], axis=-1).reshape(-1)  # (n_tiles * K * BOX_FIELDS,) — SMEM pads
+        # the minor dimension to 128 lanes, so scalar payloads stay flat
 
+    S = slot_xy.shape[0]
     boxes = jax.vmap(pack_boxes)(
-        top_idx, jnp.broadcast_to(vis, (E, 4, slot_xy.shape[0])),
-        jnp.broadcast_to(scene.npc_yaw[:, None, :], (E, 4, slot_xy.shape[0])))
+        top_idx, vis,
+        jnp.broadcast_to(scene.npc_yaw[:, None, None, :], (E, 4, n_sectors, S)))
 
-    kernel = _make_kernel(sim_cfg, n_boxes, tile_rows)
+    kernel = _make_kernel(sim_cfg, n_boxes)
     plane_spec = pl.BlockSpec((tile_rows, LANES), lambda t, e: (t, 0),
                               memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, tile_rows, LANES), lambda t, e: (e, t, 0),
@@ -301,16 +356,18 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # env scalars, full array
             pl.BlockSpec(memory_space=pltpu.SMEM),  # packed boxes, full array
-            plane_spec, plane_spec, plane_spec,
-            plane_spec, plane_spec, plane_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # vehicle palette
+            *([plane_spec] * 8),
         ],
         out_specs=(out_spec,) * 5,
         out_shape=(out_shape,) * 5,
         interpret=interpret,
-    )(env_scalars, boxes, *planes)
+    )(env_scalars, boxes, palette.reshape(-1), *planes)
 
     def unflatten(a):
-        return a.reshape(E, 4, H, W)
+        # (E, rows, LANES) laid out (cam, sector, row, col-in-sector)
+        a = a.reshape(E, 4, n_sectors, H, Ws)
+        return a.transpose(0, 1, 3, 2, 4).reshape(E, 4, H, W)
 
     rgb = jnp.stack([unflatten(r), unflatten(g), unflatten(b)], axis=-1)
     return {

@@ -72,6 +72,54 @@ def camera_rays(sim_cfg: SimConfig = SimConfig()):
     return np.stack(dirs).astype(np.float32), np.array(origins, np.float32)
 
 
+@functools.lru_cache(maxsize=4)
+def static_ray_tables(sim_cfg: SimConfig = SimConfig()):
+    """Pose-independent per-pixel render constants, precomputed once on the
+    host and shared by BOTH renderers (sim/camera.py and ops/render.py).
+
+    Because the camera rig is rigid and the ground/box-height planes are
+    horizontal, several per-pixel quantities do not depend on the vehicle
+    pose at all: the ground-intersection distance along each ray, the sky
+    elevation factor, and the z-slab interval of every vehicle box (all
+    boxes share one height). Hoisting them here removes divisions/rsqrts
+    from the per-frame hot path — and having one table be the single source
+    of truth keeps the fused Pallas kernel bit-identical to the pure
+    renderer (bench.py's hardware correctness gate).
+
+    Returns a dict of float32 (N, H, W) arrays:
+      dx, dy, dz : ray direction (vehicle frame, unit forward component)
+      tg         : ground-plane hit distance, SKY_DEPTH where the ray
+                   never hits the ground
+      elev       : clip(d_z / |d|, 0, 1) — sky gradient factor
+      zn, zf     : near/far parameter of the vehicle-height z-slab
+    plus 'origins' (N, 3): camera positions in the vehicle frame.
+    """
+    dirs, origins = camera_rays(sim_cfg)  # f32 (N,H,W,3), (N,3)
+    dx = dirs[..., 0]
+    dy = dirs[..., 1]
+    dz = dirs[..., 2]
+    oz = origins[:, 2][:, None, None].astype(np.float32)
+    eps = np.float32(1e-8)
+    safe_dz = np.where(np.abs(dz) < eps,
+                       np.where(dz >= 0, eps, -eps), dz).astype(np.float32)
+    tg = (-oz / safe_dz).astype(np.float32)
+    ground_hit = (dz < -1e-6) & (tg > 0)
+    tg = np.where(ground_hit, tg, np.float32(SKY_DEPTH)).astype(np.float32)
+
+    norm = np.sqrt(dx * dx + dy * dy + dz * dz).astype(np.float32)
+    elev = np.clip(dz / norm, 0.0, 1.0).astype(np.float32)
+
+    hh = np.float32(VEHICLE_HALF_HEIGHT)
+    o2 = (oz - hh).astype(np.float32)  # ray origin in box z frame
+    inv = (np.float32(1.0) / safe_dz).astype(np.float32)
+    t1 = (-hh - o2) * inv
+    t2 = (hh - o2) * inv
+    zn = np.minimum(t1, t2).astype(np.float32)
+    zf = np.maximum(t1, t2).astype(np.float32)
+    return {"dx": dx, "dy": dy, "dz": dz, "tg": tg, "elev": elev,
+            "zn": zn, "zf": zf, "origins": origins}
+
+
 def ground_line_intensity(px, py):
     """Analytic slot-line-marking intensity at world ground points (...,).
 
@@ -149,23 +197,22 @@ def render_cameras(ego_x, ego_y, ego_yaw, scene: SceneState,
     meters (camera-plane depth, CARLA convention), 'sem' (N,H,W) i32.
     vmap over a batch of envs.
     """
-    dirs_veh, origins_veh = camera_rays(sim_cfg)
-    dirs_veh = jnp.asarray(dirs_veh)
-    origins_veh = jnp.asarray(origins_veh)
+    tab = static_ray_tables(sim_cfg)
+    origins_veh = jnp.asarray(tab["origins"])
 
     # vehicle -> world: rotate by ego yaw about z, translate
     c, s = jnp.cos(ego_yaw), jnp.sin(ego_yaw)
-    dx, dy, dz = dirs_veh[..., 0], dirs_veh[..., 1], dirs_veh[..., 2]
-    d_world = jnp.stack([dx * c - dy * s, dx * s + dy * c, dz], axis=-1)  # (N,H,W,3)
+    dx, dy, dz = (jnp.asarray(tab["dx"]), jnp.asarray(tab["dy"]),
+                  jnp.asarray(tab["dz"]))
+    d_world = jnp.stack([dx * c - dy * s, dx * s + dy * c,
+                         jnp.broadcast_to(dz, dx.shape)], axis=-1)  # (N,H,W,3)
     ox = origins_veh[:, 0] * c - origins_veh[:, 1] * s + ego_x
     oy = origins_veh[:, 0] * s + origins_veh[:, 1] * c + ego_y
     o_world = jnp.stack([ox, oy, origins_veh[:, 2]], axis=-1)  # (N,3)
     o_world = o_world[:, None, None, :]  # (N,1,1,3)
 
-    # ---- ground plane ----
-    t_ground = _safe_div(-o_world[..., 2], d_world[..., 2])
-    ground_hit = (d_world[..., 2] < -1e-6) & (t_ground > 0)
-    t_ground = jnp.where(ground_hit, t_ground, SKY_DEPTH)
+    # ---- ground plane (static per pixel: the rig is rigid) ----
+    t_ground = jnp.asarray(tab["tg"])
 
     # ---- vehicle boxes: scan over slots keeping the nearest hit ----
     slot_xy = jnp.asarray(scene_lib.SLOT_XY)
@@ -174,26 +221,32 @@ def render_cameras(ego_x, ego_y, ego_yaw, scene: SceneState,
         jnp.float32,
     )
 
+    # the z slab is the same for every box (one height, no roll/pitch):
+    # its near/far parameters are static per pixel
+    zn = jnp.asarray(tab["zn"])
+    zf = jnp.asarray(tab["zf"])
+
     def box_step(carry, inp):
         t_best, id_best, face_best = carry
         center_xy, yaw, valid, idx = inp
         cb, sb = jnp.cos(yaw), jnp.sin(yaw)
         # ray into the box frame (box center at z = half height)
-        rel = o_world - jnp.stack(
-            [center_xy[0], center_xy[1], jnp.float32(VEHICLE_HALF_HEIGHT)])
+        rel = o_world[..., :2] - jnp.stack([center_xy[0], center_xy[1]])
         o_loc = jnp.stack(
             [rel[..., 0] * cb + rel[..., 1] * sb,
-             -rel[..., 0] * sb + rel[..., 1] * cb,
-             rel[..., 2]], axis=-1)
+             -rel[..., 0] * sb + rel[..., 1] * cb], axis=-1)
         d_loc = jnp.stack(
             [d_world[..., 0] * cb + d_world[..., 1] * sb,
-             -d_world[..., 0] * sb + d_world[..., 1] * cb,
-             d_world[..., 2]], axis=-1)
+             -d_world[..., 0] * sb + d_world[..., 1] * cb], axis=-1)
         inv_d = _safe_div(jnp.float32(1.0), d_loc)
-        t1 = (-half - o_loc) * inv_d
-        t2 = (half - o_loc) * inv_d
-        t_near = jnp.minimum(t1, t2)
-        t_far = jnp.maximum(t1, t2)
+        t1 = (-half[:2] - o_loc) * inv_d
+        t2 = (half[:2] - o_loc) * inv_d
+        t_near = jnp.concatenate(
+            [jnp.minimum(t1, t2),
+             jnp.broadcast_to(zn, t1.shape[:-1])[..., None]], axis=-1)
+        t_far = jnp.concatenate(
+            [jnp.maximum(t1, t2),
+             jnp.broadcast_to(zf, t1.shape[:-1])[..., None]], axis=-1)
         tmin = jnp.max(t_near, axis=-1)
         tmax = jnp.min(t_far, axis=-1)
         hit = valid & (tmax >= tmin) & (tmax > 0) & (tmin > 0) & (tmin < t_best)
@@ -244,11 +297,11 @@ def render_cameras(ego_x, ego_y, ego_yaw, scene: SceneState,
     face_light = jnp.asarray([0.75, 0.9, 1.0], jnp.float32)  # x/y/z faces
     veh_rgb = veh_base * face_light[box_face][..., None]
 
-    # sky: elevation gradient, weather tinted
+    # sky: elevation gradient, weather tinted (elevation is pose-independent
+    # because the rig only yaws about z)
     weather_row = jnp.asarray(WEATHER_TABLE)[jnp.asarray(weather) % len(WEATHER_TABLE)]
     brightness, sky_rgb = weather_row[0], weather_row[1:]
-    d_norm = d_world / jnp.linalg.norm(d_world, axis=-1, keepdims=True)
-    elev = jnp.clip(d_norm[..., 2], 0.0, 1.0)[..., None]
+    elev = jnp.asarray(tab["elev"])[..., None]
     horizon = sky_rgb * 0.8 + 0.18
     sky = horizon * (1 - elev) + sky_rgb * elev
 

@@ -110,6 +110,59 @@ def test_splat_differentiable():
     assert bool(jnp.isfinite(g).all())
 
 
+def test_pull_splat_matches_static():
+    """The fused pull-mode splat must agree with the lift + sorted-cumsum
+    path on random features/depth (same math, different summation order)."""
+    from e2e_parking_carla_tpu.models.lift_splat import make_pull_splat
+
+    plan = build_splat_plan(TINY, SIM)
+    h = TINY.final_dim[0] // TINY.bev_down_sample
+    D = TINY.depth_channels
+    C = 5
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    feat = jax.random.normal(k1, (2, 4, h, h, C), jnp.float32)
+    logits = jax.random.normal(k2, (2, 4, h, h, D), jnp.float32)
+
+    pts, _ = lift(feat, logits, use_depth_distribution=True)
+    ref = np.asarray(splat_static(pts, plan))
+
+    dp = jax.nn.softmax(logits, axis=-1)
+    out = np.asarray(make_pull_splat(TINY, SIM)(feat, dp))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pull_splat_vjp_matches_static():
+    """The custom (gather-only) VJP must match the autodiff gradient of the
+    cumsum path for both feat and depth-prob inputs."""
+    from e2e_parking_carla_tpu.models.lift_splat import make_pull_splat
+
+    plan = build_splat_plan(TINY, SIM)
+    h = TINY.final_dim[0] // TINY.bev_down_sample
+    D = TINY.depth_channels
+    C = 3
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(4), 3)
+    feat = jax.random.normal(k1, (1, 4, h, h, C), jnp.float32)
+    dp = jax.nn.softmax(jax.random.normal(k2, (1, 4, h, h, D)), axis=-1)
+    X, Y = plan.grid
+    cotangent = jax.random.normal(k3, (1, X, Y, C), jnp.float32)
+
+    def ref_fn(f, p):
+        # lift() without the softmax: outer product + reorder to plan order
+        B, N, hh, ww, CC = f.shape
+        x = p[..., None] * f[..., None, :]
+        x = jnp.transpose(x, (0, 1, 4, 2, 3, 5)).reshape(B, -1, CC)
+        return jnp.sum(splat_static(x, plan) * cotangent)
+
+    pull = make_pull_splat(TINY, SIM)
+    g_ref = jax.grad(ref_fn, argnums=(0, 1))(feat, dp)
+    g_pull = jax.grad(lambda f, p: jnp.sum(pull(f, p) * cotangent),
+                      argnums=(0, 1))(feat, dp)
+    np.testing.assert_allclose(np.asarray(g_pull[0]), np.asarray(g_ref[0]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_pull[1]), np.asarray(g_ref[1]),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_lift_point_ordering():
     """lift() must order points (N, D, h, w) to match the frustum plan."""
     B, N, h, w, C, D = 1, 2, 3, 3, 2, 4

@@ -88,6 +88,15 @@ def main():
     splat_fn = jax.jit(lambda p: splat_static(p, plan))
     timed("splat (gather+cumsum)", splat_fn, points)
 
+    from e2e_parking_carla_tpu.models.lift_splat import make_pull_splat
+
+    pull = make_pull_splat(model_cfg, cfg.sim)
+    pull_fn = jax.jit(lambda f, d: pull(f, jax.nn.softmax(d, axis=-1)))
+    timed("pull splat (fused fwd)", pull_fn, feat_b, dep_b)
+    pull_grad = jax.jit(jax.grad(
+        lambda f, d: jnp.sum(pull(f, jax.nn.softmax(d, axis=-1)).astype(jnp.float32))))
+    timed("pull splat (fwd+bwd)", pull_grad, feat_b, dep_b)
+
     bev = splat_fn(points).astype(jnp.bfloat16)
     bev65 = jnp.concatenate([bev, jnp.zeros((*bev.shape[:-1], 1), bev.dtype)], -1)
     benc = BevEncoder(resize=model_cfg.bev_encoder_resize, dtype=jnp.bfloat16)
