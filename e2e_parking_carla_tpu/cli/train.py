@@ -38,6 +38,19 @@ def parse_args(argv=None):
                    help="enable jax debug_nans (fail fast on NaNs)")
     p.add_argument("--smoke", action="store_true",
                    help="tiny model + few steps, CPU-friendly")
+    p.add_argument("--probe_every", type=int, default=0,
+                   help="closed-loop probe interval in steps (0 disables); "
+                        "the best EMA weights by probe score are exported")
+    p.add_argument("--probe_export", default=None,
+                   help="path for the best-probe weights artifact "
+                        "(default: <ckpt_dir>/best_ema.msgpack.gz)")
+    p.add_argument("--image_log_dir", default=None,
+                   help="write GT-vs-predicted seg/depth panels here at "
+                        "every val (reference pl_trainer.py:123-168)")
+    p.add_argument("--dagger_frac", type=float, default=None,
+                   help="override TrainConfig.dagger_envs_frac (0 = pure BC)")
+    p.add_argument("--ema_decay", type=float, default=None,
+                   help="override TrainConfig.ema_decay (0 disables EMA)")
     return p.parse_args(argv)
 
 
@@ -56,6 +69,13 @@ def main(argv=None):
     from e2e_parking_carla_tpu.train.loop import train_loop
 
     cfg = load_config(args.config) if args.config else Config()
+    if args.dagger_frac is not None:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           dagger_envs_frac=args.dagger_frac))
+    if args.ema_decay is not None:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, ema_decay=args.ema_decay))
     if args.smoke:
         tiny = dataclasses.replace(
             ModelConfig(), backbone="efficientnet-b0", image_crop=32,
@@ -98,10 +118,14 @@ def main(argv=None):
         state = mngr.restore(skeleton)
         print(f"resumed from step {int(state.step)}")
 
+    import os
+    probe_export = args.probe_export or os.path.join(exp_dir, "best_ema.msgpack.gz")
     state = train_loop(
         model, cfg, total_steps=total_steps, n_envs=n_envs,
         refresh_every=args.refresh_every, val_every=val_every,
-        chunk=chunk, seed=args.seed, ckpt_manager=mngr, state=state)
+        chunk=chunk, seed=args.seed, ckpt_manager=mngr, state=state,
+        probe_every=args.probe_every, probe_export=probe_export,
+        image_log_dir=args.image_log_dir)
     mngr.wait()
     print(f"done: step={int(state.step)} best_ckpt_step={mngr.best_step()}")
     mngr.close()

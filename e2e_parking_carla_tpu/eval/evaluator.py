@@ -46,11 +46,17 @@ class ClosedLoopEvaluator:
         self.model = model
         self.variables = variables
         self.cfg = cfg
+        # variables are an explicit argument of the jitted rollout (not a
+        # closure) so swapping weights — e.g. the in-training closed-loop
+        # probe — reuses the compiled program
         self._rollout = jax.jit(self._build_rollout())
 
+    def set_variables(self, variables):
+        self.variables = variables
+
     # ------------------------------------------------------------------
-    def _predict(self, images, ego_motion, target_point):
-        return self.model.apply(self.variables, images, ego_motion, target_point,
+    def _predict(self, variables, images, ego_motion, target_point):
+        return self.model.apply(variables, images, ego_motion, target_point,
                                 method=self.model.predict)
 
     def _build_rollout(self):
@@ -64,7 +70,7 @@ class ClosedLoopEvaluator:
         settle_steps = round(eval_cfg.settle_seconds * sim_cfg.fps
                              / sim_cfg.policy_every)
 
-        def policy_step(carry, t):
+        def policy_step(variables, carry, t):
             env, agent = carry
             cams = render_batch(env.ego.x, env.ego.y, env.ego.yaw,
                                 env.scene, sim_cfg)
@@ -81,7 +87,7 @@ class ClosedLoopEvaluator:
                 tp_gt,
             )
 
-            tokens, seg, _, _ = self._predict(images, ego_motion, tp)
+            tokens, seg, _, _ = self._predict(variables, images, ego_motion, tp)
             th, br, st, rv = tok.detokenize(tokens[:, 1:4])
             control = VehicleControl(throttle=th, brake=br, steer=st, reverse=rv)
             if eval_cfg.use_speed_limit:
@@ -109,10 +115,11 @@ class ClosedLoopEvaluator:
                      "status": env.status}
             return (env, agent), trace
 
-        def rollout(env):
+        def rollout(variables, env):
             agent = AgentState.init((env.ego.x.shape[0],))
             (final, _), traj = jax.lax.scan(
-                policy_step, (env, agent), jnp.arange(n_policy_steps))
+                lambda c, t: policy_step(variables, c, t),
+                (env, agent), jnp.arange(n_policy_steps))
             return final, traj
 
         return rollout
@@ -143,10 +150,10 @@ class ClosedLoopEvaluator:
         tp = jax.vmap(target_in_ego_frame)(
             env.ego.x, env.ego.y, env.ego.yaw, env.scene)[:1]
         fn = jax.jit(self._predict)
-        jax.block_until_ready(fn(images, ego_motion, tp))
+        jax.block_until_ready(fn(self.variables, images, ego_motion, tp))
         t0 = time.perf_counter()
         for _ in range(n_iters):
-            out = fn(images, ego_motion, tp)
+            out = fn(self.variables, images, ego_motion, tp)
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / n_iters
 
@@ -169,11 +176,13 @@ class ClosedLoopEvaluator:
                 sub = jax.tree.map(
                     lambda a: jnp.concatenate(
                         [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0), sub)
-                final, traj = jax.block_until_ready(self._rollout(sub))
+                final, traj = jax.block_until_ready(
+                    self._rollout(self.variables, sub))
                 final = jax.tree.map(lambda a: a[:-pad], final)
                 traj = jax.tree.map(lambda a: a[:, :-pad], traj)
             else:
-                final, traj = jax.block_until_ready(self._rollout(sub))
+                final, traj = jax.block_until_ready(
+                    self._rollout(self.variables, sub))
             finals.append(final)
             trajs.append(traj)
         final = jax.tree.map(lambda *a: jnp.concatenate(a, axis=0), *finals)

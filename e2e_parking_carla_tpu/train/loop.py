@@ -7,6 +7,18 @@ input pipeline: a fleet of expert episodes is collected on device
 the buffer is refreshed with new episodes as training progresses
 (BASELINE.json config #5).
 
+Beyond the reference's recipe (round-1 closed-loop quality findings):
+
+* **DAgger corrections** (data/dagger.py): a slice of every refreshed buffer
+  is collected by rolling out the *current policy* with expert labels, so
+  the model gets supervision at the states it actually visits.
+* **Parameter EMA** (trainer.py): the deploy/eval weight set is an
+  exponential moving average of the SGD iterates.
+* **Closed-loop probe selection** (probe.py): every `probe_every` steps a
+  16-attempt slice of the real protocol scores the EMA weights, and the best
+  weights are exported — replacing selection by open-loop val_loss, which
+  round-1 measurement showed selects noise.
+
 Dispatch structure: `chunk` training steps — batch sampling, rendering, and
 fwd/bwd/Adam — are fused into ONE jitted lax.scan per host call. Per-call
 dispatch latency (large on remote/tunneled backends) amortizes across the
@@ -22,6 +34,7 @@ import jax
 import numpy as np
 
 from e2e_parking_carla_tpu.config import Config
+from e2e_parking_carla_tpu.data.dagger import collect_dagger_episodes, concat_buffers
 from e2e_parking_carla_tpu.data.rollout import collect_episodes, make_batch
 from e2e_parking_carla_tpu.train import trainer as trainer_lib
 
@@ -38,19 +51,35 @@ def train_loop(
     log_fn: Optional[Callable] = print,
     ckpt_manager=None,
     state: Optional[trainer_lib.TrainState] = None,
+    probe_every: int = 0,
+    probe_export: Optional[str] = None,
+    image_log_dir: Optional[str] = None,
 ):
     """Run in-loop training. Returns the final TrainState.
 
-    Cadence: every `refresh_every` steps the episode buffer is re-collected;
+    Cadence: every `refresh_every` steps the episode buffer is re-collected
+    (with a DAgger slice once the policy has trained, see module docstring);
     training advances `chunk` fused steps per device call; every `val_every`
-    steps validation runs and (optionally) a checkpoint is saved.
+    steps validation runs and (optionally) a checkpoint is saved; every
+    `probe_every` steps (0 disables) a closed-loop probe scores the EMA
+    weights and exports the best to `probe_export`.
     """
     rng = jax.random.PRNGKey(seed)
     k_collect, k_init, k_batch, k_train = jax.random.split(rng, 4)
     steps_per_epoch = max(total_steps // max(cfg.train.epochs, 1), 1)
 
+    n_dagger = int(round(n_envs * cfg.train.dagger_envs_frac))
     collect = jax.jit(
         lambda key: collect_episodes(key, n_envs, cfg.model, cfg.sim, cfg.eval))
+
+    def _predict(variables, images, ego_motion, target_point):
+        return model.apply(variables, images, ego_motion, target_point,
+                           method=model.predict)
+
+    collect_dagger = jax.jit(
+        lambda variables, key: collect_dagger_episodes(
+            _predict, variables, key, n_dagger, cfg.model, cfg.sim, cfg.eval,
+            expert_mix=cfg.train.dagger_expert_mix)) if n_dagger else None
     batch_fn = jax.jit(
         lambda buf, key: make_batch(buf, key, cfg.train.batch_size, cfg.model, cfg.sim))
 
@@ -73,6 +102,23 @@ def train_loop(
                                                steps_per_epoch=steps_per_epoch)
     val_step = trainer_lib.make_val_step(model, cfg)
     inner_step = trainer_lib.build_train_step(model, cfg, steps_per_epoch)
+
+    probe = None
+    if probe_every > 0:
+        from e2e_parking_carla_tpu.train.probe import ClosedLoopProbe
+
+        probe = ClosedLoopProbe(model, cfg)
+
+    def refresh_buffer(step):
+        """New expert fleet + (once the policy has trained) a DAgger slice
+        rolled out by the current params with expert labels."""
+        key = jax.random.fold_in(k_collect, step)
+        buf = collect(key)
+        if collect_dagger is not None and step > 0:
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            dbuf = collect_dagger(variables, jax.random.fold_in(key, 1))
+            buf = concat_buffers(buf, dbuf)
+        return buf
 
     @jax.jit
     def run_chunk(st, buf, key):
@@ -97,9 +143,10 @@ def train_loop(
 
     next_refresh = next_multiple(refresh_every)
     next_val = next_multiple(val_every)
+    next_probe = next_multiple(probe_every)
     while step < total_steps:
         if step >= next_refresh:
-            buffer = collect(jax.random.fold_in(k_collect, step))
+            buffer = refresh_buffer(step)
             next_refresh = ((step // refresh_every) + 1) * refresh_every
         state, losses = run_chunk(state, buffer, jax.random.fold_in(k_batch, step))
         step = int(state.step)
@@ -113,7 +160,27 @@ def train_loop(
             log(f"step {step}: train_loss={float(losses[-1]):.4f} "
                 f"val={ {k: round(v, 4) for k, v in val_metrics.items()} } "
                 f"({rate:.2f} steps/s)")
+            if image_log_dir is not None:
+                try:
+                    from e2e_parking_carla_tpu.utils.viz import log_prediction_panel
+                    log_prediction_panel(model, state, val_batch, cfg.model,
+                                         image_log_dir, step)
+                except Exception as e:  # viz must never kill a training run
+                    log(f"image log failed: {e}")
+
             if ckpt_manager is not None:
                 ckpt_manager.save(step, state, metrics=val_metrics)
+
+        if probe is not None and step >= next_probe:
+            next_probe += probe_every * ((step - next_probe) // probe_every + 1)
+            variables = {"params": state.ema_params,
+                         "batch_stats": state.batch_stats}
+            t_p = time.time()
+            m = probe(variables, step, export_path=probe_export)
+            last_log += time.time() - t_p  # don't count probe time as train
+            log(f"step {step}: probe TSR={m['TSR']:.1f} CR={m['CR']:.1f} "
+                f"TR={m['TR']:.1f} score={m['probe_score']:.1f} "
+                f"(best {probe.best_score:.1f} @ {probe.best_step}) "
+                f"[{time.time()-t_p:.0f}s]")
 
     return state

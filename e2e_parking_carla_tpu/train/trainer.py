@@ -29,6 +29,11 @@ class TrainState:
     params: dict
     batch_stats: dict
     opt_state: optax.OptState
+    # Exponential moving average of params. Closed-loop quality is very
+    # sensitive to the exact SGD iterate (adjacent checkpoints swing 0<->67
+    # TSR while open-loop val barely moves — STATUS round 1); the EMA is the
+    # deploy/eval weight set. decay=0 disables (ema == params).
+    ema_params: dict = None
 
 
 def make_optimizer(cfg: Config, steps_per_epoch: int = 1000):
@@ -61,6 +66,7 @@ def create_train_state(model, cfg: Config, rng, sample_batch,
         params=params,
         batch_stats=batch_stats,
         opt_state=tx.init(params),
+        ema_params=params,
     )
 
 
@@ -88,8 +94,19 @@ def build_train_step(model, cfg: Config, steps_per_epoch: int = 1000):
             loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        d = cfg.train.ema_decay
+        if d > 0.0:
+            # bias-corrected EMA: warm up the effective decay so early steps
+            # aren't anchored to the random init
+            eff = jnp.minimum(d, (1.0 + state.step) / (10.0 + state.step))
+            new_ema = jax.tree.map(
+                lambda e, p: e * eff + p.astype(e.dtype) * (1.0 - eff),
+                state.ema_params, new_params)
+        else:
+            new_ema = new_params
         new_state = TrainState(step=state.step + 1, params=new_params,
-                               batch_stats=new_bstats, opt_state=new_opt)
+                               batch_stats=new_bstats, opt_state=new_opt,
+                               ema_params=new_ema)
         return new_state, loss_dict
 
     return train_step

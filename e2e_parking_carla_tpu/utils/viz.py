@@ -99,6 +99,51 @@ def save_gif(frames: List[np.ndarray], path: str, fps: int = 10) -> str:
     return path
 
 
+def log_prediction_panel(model, state, batch, model_cfg, out_dir: str,
+                         step: int, n_samples: int = 2) -> str:
+    """Periodic training-artifact image: GT vs predicted BEV segmentation and
+    depth for a few validation samples (the reference's matplotlib->
+    TensorBoard seg/depth figure loggers, trainer/pl_trainer.py:123-168).
+
+    Writes `{out_dir}/pred_step{step}.png`; returns the path.
+    """
+    import os
+
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    sub = {k: v[:n_samples] for k, v in batch.items()}
+    _, seg_logits, depth_logits = model.apply(
+        {"params": state.ema_params, "batch_stats": state.batch_stats},
+        sub["images"], sub["ego_motion"], sub["target_point"],
+        sub["gt_control"], train=False)
+    seg_pred = np.asarray(seg_logits).argmax(-1)  # (n, X, Y)
+    seg_gt = np.asarray(sub["segmentation"])
+    # depth: bin argmax -> meters -> grayscale against d_bound range
+    d0, d1, dd = model_cfg.d_bound
+    depth_m = d0 + dd * np.asarray(depth_logits).argmax(-1)  # (n, N, h, w)
+    rows = []
+    for i in range(seg_pred.shape[0]):
+        gt_img = bev_panel(seg_gt[i])
+        pred_img = bev_panel(seg_pred[i])
+        # invert the ImageNet normalization for display
+        mean = np.array([0.485, 0.456, 0.406], np.float32)
+        std = np.array([0.229, 0.224, 0.225], np.float32)
+        front = to_uint8(np.asarray(sub["images"][i, 0]) * std + mean)
+        d = np.clip((depth_m[i, 0] - d0) / (d1 - d0), 0, 1)
+        d_img = np.repeat(to_uint8(d)[..., None], 3, axis=-1)
+        h = gt_img.shape[0]
+        row = np.concatenate(
+            [_fit_height(p, h) for p in (front, d_img, gt_img, pred_img)], axis=1)
+        rows.append(row)
+    w = max(r.shape[1] for r in rows)
+    rows = [np.pad(r, ((0, 0), (0, w - r.shape[1]), (0, 0))) for r in rows]
+    panel = np.concatenate(rows, axis=0)
+    path = os.path.join(out_dir, f"pred_step{step}.png")
+    Image.fromarray(panel).save(path)
+    return path
+
+
 def replay_episode(buffer, episode: int, cfg, path: str,
                    stride: int = 3, max_frames: Optional[int] = 80) -> str:
     """Render a stored EpisodeBuffer episode to a GIF (camera grid + BEV)."""
