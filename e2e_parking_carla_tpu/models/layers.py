@@ -104,10 +104,13 @@ class ASPPPooling(nn.Module):
 
 
 class ASPP(nn.Module):
-    """Atrous spatial pyramid pooling (reference convolutions.py:218-271)."""
+    """Atrous spatial pyramid pooling (reference convolutions.py:218-271).
+
+    Default rates match the reference's DeepLabHead instantiation
+    (convolutions.py:276: atrous_rates=[12, 24, 36])."""
 
     features: int
-    rates: Sequence[int] = (6, 12, 18)
+    rates: Sequence[int] = (12, 24, 36)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -126,7 +129,9 @@ class ASPP(nn.Module):
 
 
 class DeepLabHead(nn.Module):
-    """ASPP + 3x3 conv head (reference convolutions.py:274-282)."""
+    """ASPP -> 3x3 conv-BN-relu -> 1x1 conv (reference convolutions.py:
+    274-282); layer-for-layer identical to the torch module so reference
+    checkpoints import weight-exact (tools/import_torch_ckpt.py)."""
 
     features: int
     hidden: int = 64
@@ -135,7 +140,8 @@ class DeepLabHead(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ASPP(self.hidden, dtype=self.dtype)(x, train)
-        x = ConvBNAct(self.features, kernel=3, dtype=self.dtype)(x, train)
+        x = ConvBNAct(self.hidden, kernel=3, dtype=self.dtype)(x, train)
+        x = nn.Conv(self.features, (1, 1), dtype=self.dtype)(x)
         return x
 
 
