@@ -31,6 +31,9 @@ def parse_args(argv=None):
                    help="evaluate the scripted expert instead of a model")
     p.add_argument("--ckpt_step", type=int, default=None,
                    help="checkpoint step to evaluate (default: latest)")
+    p.add_argument("--ema", action="store_true",
+                   help="evaluate the checkpoint's EMA weights (the deploy "
+                        "set) instead of the raw SGD iterate")
     p.add_argument("--no_speed_limit", action="store_true",
                    help="ablation: disable the agent speed-limit heuristics")
     p.add_argument("--smoke", action="store_true")
@@ -130,7 +133,8 @@ def main(argv=None):
     else:
         mngr = ckpt_lib.CheckpointManager(args.model_path)
         state = mngr.restore(skeleton, step=args.ckpt_step or mngr.latest_step())
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        params = state.ema_params if args.ema else state.params
+        variables = {"params": params, "batch_stats": state.batch_stats}
 
     ev = ClosedLoopEvaluator(model, variables, cfg)
     overall, _ = ev.run(out_dir=args.eva_result_path, epochs=cfg.eval.epochs)

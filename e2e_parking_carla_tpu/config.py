@@ -266,12 +266,19 @@ class TrainConfig:
     # DAgger: fraction of each refreshed buffer collected by rolling out the
     # CURRENT policy with expert-correction labels (0 = pure behavioral
     # cloning, the reference's setting). The expert is queryable at every
-    # state on device, so corrections are nearly free.
-    dagger_envs_frac: float = 0.25
+    # state on device, so corrections are nearly free. Measured trade-off
+    # (b0, 25k steps): frac 0.25 from step 0 drove CR 18%->0.5% but taught
+    # timidity (TR 7%->65%) — the expert's phase machine emits conservative
+    # labels at the off-manifold states an incompetent mixture visits. Keep
+    # the slice small and start it only once the policy is closed-loop
+    # competent.
+    dagger_envs_frac: float = 0.15
     # probability per env-step that the EXPERT's action (not the policy's)
     # is executed during DAgger collection (beta-mixture; keeps rollouts
     # from leaving the recoverable-state manifold early in training)
-    dagger_expert_mix: float = 0.5
+    dagger_expert_mix: float = 0.85
+    # first training step at which refreshed buffers include a DAgger slice
+    dagger_start_step: int = 6000
 
     # mesh axes: batch is sharded over 'data'; attention heads / mlp hidden
     # over 'model' when model_axis > 1

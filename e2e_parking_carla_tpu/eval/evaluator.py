@@ -44,7 +44,7 @@ class ClosedLoopEvaluator:
 
     def __init__(self, model, variables, cfg: Config):
         self.model = model
-        self.variables = variables
+        self.variables = None if variables is None else jax.device_put(variables)
         self.cfg = cfg
         # variables are an explicit argument of the jitted rollout (not a
         # closure) so swapping weights — e.g. the in-training closed-loop
@@ -52,7 +52,10 @@ class ClosedLoopEvaluator:
         self._rollout = jax.jit(self._build_rollout())
 
     def set_variables(self, variables):
-        self.variables = variables
+        # pin to device once: passing host arrays would re-upload the full
+        # weight set on every predict dispatch (catastrophic for AIT over a
+        # tunneled backend)
+        self.variables = jax.device_put(variables)
 
     # ------------------------------------------------------------------
     def _predict(self, variables, images, ego_motion, target_point):

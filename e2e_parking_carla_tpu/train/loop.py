@@ -107,14 +107,17 @@ def train_loop(
     if probe_every > 0:
         from e2e_parking_carla_tpu.train.probe import ClosedLoopProbe
 
-        probe = ClosedLoopProbe(model, cfg)
+        # 3 poses/slot = 48 attempts covering both headings and the +-8 m
+        # sweep extremes; a 1-pose probe only sees the easiest start
+        # (alongside the goal) and badly overestimates protocol TSR
+        probe = ClosedLoopProbe(model, cfg, parking_nums=3)
 
     def refresh_buffer(step):
         """New expert fleet + (once the policy has trained) a DAgger slice
         rolled out by the current params with expert labels."""
         key = jax.random.fold_in(k_collect, step)
         buf = collect(key)
-        if collect_dagger is not None and step > 0:
+        if collect_dagger is not None and step >= cfg.train.dagger_start_step:
             variables = {"params": state.params, "batch_stats": state.batch_stats}
             dbuf = collect_dagger(variables, jax.random.fold_in(key, 1))
             buf = concat_buffers(buf, dbuf)
