@@ -127,6 +127,11 @@ def main(argv=None):
     skeleton = trainer_lib.create_train_state(
         model, cfg, jax.random.PRNGKey(0), sample)
     if args.weights:
+        if args.ema:
+            raise SystemExit(
+                "--ema selects the EMA set from a checkpoint dir and has no "
+                "effect on a --weights artifact (which is a single fixed "
+                "weight set); drop one of the two flags")
         variables = ckpt_lib.load_weights_artifact(
             args.weights, {"params": skeleton.params,
                            "batch_stats": skeleton.batch_stats})

@@ -49,6 +49,10 @@ def parse_args(argv=None):
                         "every val (reference pl_trainer.py:123-168)")
     p.add_argument("--dagger_frac", type=float, default=None,
                    help="override TrainConfig.dagger_envs_frac (0 = pure BC)")
+    p.add_argument("--dagger_mix", type=float, default=None,
+                   help="override TrainConfig.dagger_expert_mix")
+    p.add_argument("--dagger_start", type=int, default=None,
+                   help="override TrainConfig.dagger_start_step")
     p.add_argument("--ema_decay", type=float, default=None,
                    help="override TrainConfig.ema_decay (0 disables EMA)")
     return p.parse_args(argv)
@@ -73,6 +77,14 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train,
                                            dagger_envs_frac=args.dagger_frac))
+    if args.dagger_mix is not None:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           dagger_expert_mix=args.dagger_mix))
+    if args.dagger_start is not None:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           dagger_start_step=args.dagger_start))
     if args.ema_decay is not None:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, ema_decay=args.ema_decay))

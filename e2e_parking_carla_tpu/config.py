@@ -272,13 +272,38 @@ class TrainConfig:
     # labels at the off-manifold states an incompetent mixture visits. Keep
     # the slice small and start it only once the policy is closed-loop
     # competent.
-    dagger_envs_frac: float = 0.15
+    dagger_envs_frac: float = 0.2
     # probability per env-step that the EXPERT's action (not the policy's)
     # is executed during DAgger collection (beta-mixture; keeps rollouts
     # from leaving the recoverable-state manifold early in training)
-    dagger_expert_mix: float = 0.85
+    dagger_expert_mix: float = 0.75
     # first training step at which refreshed buffers include a DAgger slice
-    dagger_start_step: int = 6000
+    dagger_start_step: int = 5000
+    # Round-3 label-quality filters (measured round-2 failure: DAgger labels
+    # collected under an incompetent mixture teach timidity — TR 7%->65%):
+    # drop frames where the expert phase machine sits in HOLD (stop-forever
+    # labels at wherever it last gave up) ...
+    dagger_drop_hold: bool = True
+    # ... and drop whole episodes that end in TIMEOUT/OUTBOUND (confused
+    # state-machine trajectories; also the longest episodes, which otherwise
+    # dominate uniform frame sampling)
+    dagger_drop_timeout: bool = True
+
+    # Cosine-schedule floor as a fraction of the peak LR (reference
+    # CosineAnnealingLR decays to 0, pl_trainer.py:116-121; a small floor
+    # keeps the late-schedule iterates moving so the EMA/probe-soup
+    # selection averages genuinely different weights instead of a frozen
+    # endpoint — round-2 finding: closed-loop competence emerges late)
+    lr_min_frac: float = 0.05
+
+    # Closed-loop probe selection (train/probe.py): number of independent
+    # protocol seeds per probe (averaged — halves selection noise) and the
+    # size of the top-K probe-winner weight soup exported alongside the
+    # single best snapshot (round-2 finding: greedy argmax over a noisy
+    # 48-attempt probe selects noise; probe-best 46.9 scored 30.2 on the
+    # full protocol)
+    probe_seeds: int = 2
+    probe_top_k: int = 5
 
     # mesh axes: batch is sharded over 'data'; attention heads / mlp hidden
     # over 'model' when model_axis > 1

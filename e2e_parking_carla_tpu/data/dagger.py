@@ -46,6 +46,8 @@ def collect_dagger_episodes(
     eval_cfg: EvalConfig,
     expert_mix: float = 0.5,
     max_frames: int = 900,
+    drop_hold_labels: bool = True,
+    drop_timeout_episodes: bool = True,
 ) -> EpisodeBuffer:
     """Roll out `n_envs` episodes under the policy/expert execution mixture
     and label every visited state with the expert's control.
@@ -55,6 +57,19 @@ def collect_dagger_episodes(
         explicitly so one jitted collection program serves every refresh.
     expert_mix: per-env-step probability that the EXPERT's action is the one
         executed (the label is always the expert's action either way).
+    drop_hold_labels: exclude frames where the expert's phase machine is in
+        HOLD (phase 4, full brake forever). Round-2 measurement: aggressive
+        DAgger taught the policy to stop at off-manifold states (TR
+        7% -> 65%) because HOLD emits unconditional stop labels wherever the
+        machine last gave up; the BC buffer already supervises the legitimate
+        stop-at-goal from properly parked states.
+    drop_timeout_episodes: exclude ALL frames of episodes that end in
+        TIMEOUT/OUTBOUND (or never terminate). Those trajectories are
+        dominated by a confused expert state machine (give-up trims, stale
+        phases at states it cannot recover from), and — being the longest
+        episodes — they otherwise flood the uniform frame sampler with
+        conservative labels: a timeout contributes ~290 frames where a
+        collision episode contributes ~30.
 
     Fully jittable: the whole fleet advances in one lax.scan at the 10 Hz
     policy rate (decisions held for `policy_every` sim frames, matching the
@@ -92,7 +107,8 @@ def collect_dagger_episodes(
         tokens = out[0]
         th, br, st, rv = tok.detokenize(tokens[:, 1:4])
         pol_ctrl = VehicleControl(throttle=th, brake=br, steer=st, reverse=rv)
-        pol_ctrl, ag = apply_speed_limit(pol_ctrl, s.ego.v, ag, eval_cfg)
+        if eval_cfg.use_speed_limit:  # match the evaluator's gating
+            pol_ctrl, ag = apply_speed_limit(pol_ctrl, s.ego.v, ag, eval_cfg)
 
         use_expert = jax.random.bernoulli(key_t, expert_mix, (n_envs,))
         ctrl = jax.tree.map(
@@ -112,6 +128,8 @@ def collect_dagger_episodes(
             "throttle": exp_ctrl.throttle, "brake": exp_ctrl.brake,
             "steer": exp_ctrl.steer, "reverse": exp_ctrl.reverse,
             "status": s_next.status,
+            # post-update phase: HOLD here is what forces the stop label
+            "expert_phase": e.phase,
         }
         return (s_next, e, ag), snap
 
@@ -125,10 +143,19 @@ def collect_dagger_episodes(
     # recovery states on failed attempts are exactly the point
     done = traj["status"] != Status.RUNNING
     first_done = jnp.argmax(done, axis=1)
-    end = jnp.where(done.any(axis=1), first_done, T)
+    ended = done.any(axis=1)
+    end = jnp.where(ended, first_done, T)
     t_idx = jnp.arange(T)[None, :]
     valid = ((t_idx >= model_cfg.hist_frame_nums)
              & (t_idx < end[:, None] - model_cfg.future_frame_nums))
+    if drop_hold_labels:
+        valid &= traj["expert_phase"] != 4
+    if drop_timeout_episodes:
+        end_status = jnp.take_along_axis(
+            traj["status"], end[:, None].clip(max=T - 1), axis=1)[:, 0]
+        bad_end = (~ended) | (end_status == Status.TIMEOUT) \
+            | (end_status == Status.OUTBOUND)
+        valid &= ~bad_end[:, None]
 
     return EpisodeBuffer(
         ego_x=traj["x"], ego_y=traj["y"], ego_yaw=traj["yaw"],

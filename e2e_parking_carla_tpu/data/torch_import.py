@@ -330,7 +330,14 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray],
     non-ignored leftovers, so silent partial imports are impossible.
     """
     sd = strip_prefix(state_dict)
-    heads = cfg.tf_en_heads  # == tf_de_heads in the reference config
+    # encoder/decoder MHA reshapes both use this head count; the rule table
+    # does not distinguish them, so refuse configs where they differ rather
+    # than silently producing mis-shaped-but-plausible decoder weights
+    if cfg.tf_en_heads != cfg.tf_de_heads:
+        raise ValueError(
+            f"convert_state_dict requires tf_en_heads == tf_de_heads "
+            f"(got {cfg.tf_en_heads} vs {cfg.tf_de_heads})")
+    heads = cfg.tf_en_heads
     params: dict = {}
     stats: dict = {}
     consumed = set()

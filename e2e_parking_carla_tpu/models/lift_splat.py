@@ -179,6 +179,12 @@ def build_pull_plan(model_cfg: ModelConfig = ModelConfig(),
     run_lens = np.diff(np.append(run_starts, len(order)))
 
     sizes = np.asarray(_BUCKET_SIZES)
+    if run_lens.max(initial=0) > sizes[-1]:
+        raise ValueError(
+            f"pull-splat bucket overflow: a voxel has {int(run_lens.max())} "
+            f"frustum contributors but the largest bucket holds {sizes[-1]} "
+            f"(bucket sizes are tuned for the reference rig; extend "
+            f"_BUCKET_SIZES for this Model/SimConfig)")
     cap = sizes[np.searchsorted(sizes, run_lens)]
     buckets = []
     voxel_order = np.full(X * Y, -1, np.int64)

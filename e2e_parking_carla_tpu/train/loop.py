@@ -79,7 +79,10 @@ def train_loop(
     collect_dagger = jax.jit(
         lambda variables, key: collect_dagger_episodes(
             _predict, variables, key, n_dagger, cfg.model, cfg.sim, cfg.eval,
-            expert_mix=cfg.train.dagger_expert_mix)) if n_dagger else None
+            expert_mix=cfg.train.dagger_expert_mix,
+            drop_hold_labels=getattr(cfg.train, "dagger_drop_hold", True),
+            drop_timeout_episodes=getattr(cfg.train, "dagger_drop_timeout", True),
+        )) if n_dagger else None
     batch_fn = jax.jit(
         lambda buf, key: make_batch(buf, key, cfg.train.batch_size, cfg.model, cfg.sim))
 
@@ -185,5 +188,19 @@ def train_loop(
                 f"TR={m['TR']:.1f} score={m['probe_score']:.1f} "
                 f"(best {probe.best_score:.1f} @ {probe.best_step}) "
                 f"[{time.time()-t_p:.0f}s]")
+
+    if probe is not None and probe_export is not None and probe.best_step:
+        root, ext = probe_export, ""
+        for e in (".msgpack.gz", ".msgpack", ".gz"):
+            if probe_export.endswith(e):
+                root, ext = probe_export[: -len(e)], e
+                break
+        soup_path = root + "_soup" + ext
+        out = probe.export_soup(soup_path)
+        if out is not None:
+            m, members = out
+            log(f"probe soup ({len(members)} members @ {members}): "
+                f"TSR={m['TSR']:.1f} CR={m['CR']:.1f} TR={m['TR']:.1f} "
+                f"score={m['probe_score']:.1f} -> {soup_path}")
 
     return state

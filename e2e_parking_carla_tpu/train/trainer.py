@@ -41,7 +41,7 @@ def make_optimizer(cfg: Config, steps_per_epoch: int = 1000):
     schedule = optax.cosine_decay_schedule(
         init_value=cfg.train.learning_rate,
         decay_steps=max(cfg.train.epochs * steps_per_epoch, 1),
-        alpha=0.0,
+        alpha=getattr(cfg.train, "lr_min_frac", 0.0),
     )
     return optax.chain(
         optax.add_decayed_weights(cfg.train.weight_decay),

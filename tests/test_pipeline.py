@@ -204,6 +204,50 @@ def test_closed_loop_eval_smoke(model_state, tmp_path):
                                np.asarray(env0.ego.y), atol=1e-5)
 
 
+def test_closed_loop_probe_and_soup(model_state, tmp_path):
+    """Multi-seed probe selection + top-K weight-soup export (round-3
+    variance treatment, train/probe.py): two probe calls on different weight
+    sets must track the best score, export a loadable best artifact, and the
+    soup must be the parameter mean of the stored snapshots."""
+    from e2e_parking_carla_tpu.train.probe import ClosedLoopProbe
+
+    model, state, _ = model_state
+    cfg = dataclasses.replace(
+        TINY_CFG,
+        eval=EvalConfig(task_nums=2, frames_total_needed=150,
+                        frames_outbound_needed=60),
+    )
+    probe = ClosedLoopProbe(model, cfg, parking_nums=1, seeds=2, top_k=2)
+    best_path = str(tmp_path / "best.msgpack.gz")
+    v1 = {"params": state.params, "batch_stats": state.batch_stats}
+    m1 = probe(v1, step=100, export_path=best_path)
+    assert {"TSR", "CR", "TR", "probe_score"} <= set(m1)
+    assert probe.best_step == 100
+    assert os.path.exists(best_path)
+
+    # second probe with perturbed weights: snapshot list grows, soup = mean
+    v2 = {"params": jax.tree.map(lambda p: p + 0.05, state.params),
+          "batch_stats": state.batch_stats}
+    probe(v2, step=200, export_path=best_path)
+    assert len(probe._top) == 2
+    soup = probe.soup_variables()
+    leaf1 = jax.tree.leaves(v1["params"])[0]
+    leaf2 = jax.tree.leaves(v2["params"])[0]
+    leaf_s = jax.tree.leaves(soup["params"])[0]
+    np.testing.assert_allclose(np.asarray(leaf_s),
+                               (np.asarray(leaf1) + np.asarray(leaf2)) / 2,
+                               rtol=1e-6)
+
+    soup_path = str(tmp_path / "soup.msgpack.gz")
+    out = probe.export_soup(soup_path)
+    assert out is not None and os.path.exists(soup_path)
+    restored = ckpt_lib.load_weights_artifact(
+        soup_path, {"params": state.params, "batch_stats": state.batch_stats})
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored["params"])[0]),
+        np.asarray(leaf_s), rtol=1e-6)
+
+
 def test_mesh_fsdp(model_state):
     """Full train step with ZeRO-3-style param sharding over 4 devices."""
     model, state, batch = model_state
