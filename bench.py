@@ -141,6 +141,55 @@ def check_render_correctness(n_envs: int = 4) -> None:
         raise AssertionError(
             f"cull LOD error out of budget: {frac:.2%} of pixels differ")
 
+    # (3) the same two checks at MID-MANEUVER poses: step the expert ~15 s
+    # so the ego sits inside the lot between parked rows (the poses training
+    # batches and eval rollouts actually render), where near-field boxes
+    # stress the sector culling hardest (advisor round-2 finding: start-pose
+    # checks alone never exercise these).
+    from e2e_parking_carla_tpu.config import EvalConfig
+    from e2e_parking_carla_tpu.sim.env import step_env
+    from e2e_parking_carla_tpu.sim.expert import ExpertState, expert_policy
+
+    eval_cfg = EvalConfig()
+
+    @jax.jit
+    def advance(env):
+        est = ExpertState.init((n_envs,))
+
+        def body(carry, _):
+            s, e = carry
+            ctrl, e = jax.vmap(
+                lambda a, b, c: expert_policy(a, b, c, sim_cfg))(s.ego, s.scene, e)
+            s = jax.vmap(lambda st, c: step_env(st, c, sim_cfg, eval_cfg))(s, ctrl)
+            return (s, e), None
+
+        (env, _), _ = jax.lax.scan(body, (env, est), None, length=450)
+        return env
+
+    mid = advance(env)
+    ref_m = jax.jit(jax.vmap(
+        lambda x, y, yaw, sc: render_cameras(x, y, yaw, sc, sim_cfg)
+    ))(mid.ego.x, mid.ego.y, mid.ego.yaw, mid.scene)
+    full_m = jax.jit(lambda: render_cameras_pallas(
+        mid.ego.x, mid.ego.y, mid.ego.yaw, mid.scene, sim_cfg,
+        n_boxes=sim_cfg.max_static_vehicles))()
+    for name, tol in (("rgb", 1e-5), ("depth", 1e-4)):
+        err = np.abs(np.asarray(full_m[name], np.float32)
+                     - np.asarray(ref_m[name], np.float32)).max()
+        if err > tol:
+            raise AssertionError(
+                f"Pallas renderer (no cull, mid-maneuver) diverges: "
+                f"{name} max|diff|={err:.3e} (tol {tol})")
+    culled_m = jax.jit(lambda: render_cameras_pallas(
+        mid.ego.x, mid.ego.y, mid.ego.yaw, mid.scene, sim_cfg))()
+    frac_m = float((np.abs(np.asarray(culled_m["rgb"], np.float32)
+                           - np.asarray(ref_m["rgb"], np.float32)).max(-1)
+                    > 1e-3).mean())
+    if frac_m > 0.02:
+        raise AssertionError(
+            f"cull LOD error out of budget at mid-maneuver poses: "
+            f"{frac_m:.2%} of pixels differ")
+
 
 def main():
     n_envs = int(os.environ.get("BENCH_ENVS", "256"))

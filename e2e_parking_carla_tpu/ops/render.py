@@ -107,9 +107,9 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int):
     SKY = cam_lib.SKY_DEPTH
     eps = 1e-8
 
-    def kernel(env_ref, boxes_ref, pal_ref, dx_ref, dy_ref, ox_ref, oy_ref,
-               tg_ref, elev_ref, zn_ref, zf_ref,
-               r_ref, g_ref, b_ref, depth_ref, sem_ref):
+    def kernel(env_ref, boxes_ref, pal_ref, kmax_ref, dx_ref, dy_ref, ox_ref,
+               oy_ref, tg_ref, elev_ref, zn_ref, zf_ref,
+               rgbs_ref, depth_ref):
         t = pl.program_id(0)
         e = pl.program_id(1)
         ex = env_ref[e, 0]
@@ -187,14 +187,21 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int):
                 jnp.zeros(shape, jnp.float32),
                 jnp.zeros(shape, jnp.float32),
                 jnp.zeros(shape, jnp.float32))
-        if n_boxes <= 16:
-            # static unroll: lets Mosaic software-pipeline across boxes
-            carry = init
-            for k in range(n_boxes):
-                carry = body(k, carry)
-            t_box, vr, vg, vb = carry
-        else:
-            t_box, vr, vg, vb = jax.lax.fori_loop(0, n_boxes, body, init)
+
+        def run_boxes(_):
+            if n_boxes <= 16:
+                # static unroll: lets Mosaic software-pipeline across boxes
+                carry = init
+                for k in range(n_boxes):
+                    carry = body(k, carry)
+                return carry
+            return jax.lax.fori_loop(0, n_boxes, body, init)
+
+        # elevation/occupancy skip: tiles whose sector cull kept ZERO boxes
+        # (sky-facing sectors, sectors looking at empty lot) bypass the box
+        # loop entirely — bit-exact, since invalid candidates are no-ops
+        t_box, vr, vg, vb = jax.lax.cond(
+            kmax_ref[e, t] > 0, run_boxes, lambda _: init, None)
 
         # ---- ground shading ----
         pgx = owx + tg * dwx
@@ -223,13 +230,17 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int):
         out_r = jnp.where(is_sky, sk_r, jnp.where(box_front, vr, gr))
         out_g = jnp.where(is_sky, sk_g, jnp.where(box_front, vg, gg))
         out_b = jnp.where(is_sky, sk_b, jnp.where(box_front, vb, gb))
-        r_ref[0] = jnp.clip(out_r * bright, 0.0, 1.0)
-        g_ref[0] = jnp.clip(out_g * bright, 0.0, 1.0)
-        b_ref[0] = jnp.clip(out_b * bright, 0.0, 1.0)
+        # pack RGB (8-bit quantized, the reference's PNG precision) + sem
+        # into ONE int32 plane: 8 B/px of HBM writes (with depth) instead of
+        # the 20 B/px of five f32 planes — the render is bandwidth-heavy at
+        # fleet scale (round-2: 168 GB/s of output writes at 32k steps/s)
+        ri = jnp.round(jnp.clip(out_r * bright, 0.0, 1.0) * 255.0).astype(jnp.int32)
+        gi = jnp.round(jnp.clip(out_g * bright, 0.0, 1.0) * 255.0).astype(jnp.int32)
+        bi = jnp.round(jnp.clip(out_b * bright, 0.0, 1.0) * 255.0).astype(jnp.int32)
+        si = jnp.where(
+            is_sky, 0, jnp.where(box_front, 1, jnp.where(in_target, 2, 0)))
+        rgbs_ref[0] = ri | (gi << 8) | (bi << 16) | (si << 24)
         depth_ref[0] = jnp.minimum(t_hit, SKY)
-        sem_ref[0] = jnp.where(
-            is_sky, 0.0,
-            jnp.where(box_front, 1.0, jnp.where(in_target, 2.0, 0.0)))
 
     return kernel
 
@@ -342,36 +353,45 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
     boxes = jax.vmap(pack_boxes)(
         top_idx, vis,
         jnp.broadcast_to(scene.npc_yaw[:, None, None, :], (E, 4, n_sectors, S)))
+    # per-(env, tile) surviving-candidate count, for the kernel's box-loop
+    # skip; candidates are distance-ordered so valid ones form a prefix
+    sel_valid = jnp.take_along_axis(vis, top_idx, axis=-1)  # (E, 4, sec, K)
+    kmax = sel_valid.sum(axis=-1).reshape(E, n_tiles).astype(jnp.int32)
 
     kernel = _make_kernel(sim_cfg, n_boxes)
     plane_spec = pl.BlockSpec((tile_rows, LANES), lambda t, e: (t, 0),
                               memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, tile_rows, LANES), lambda t, e: (e, t, 0),
                             memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((E, rows, LANES), jnp.float32)
 
-    r, g, b, depth, sem = pl.pallas_call(
+    rgbs, depth = pl.pallas_call(
         kernel,
         grid=(n_tiles, E),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # env scalars, full array
             pl.BlockSpec(memory_space=pltpu.SMEM),  # packed boxes, full array
             pl.BlockSpec(memory_space=pltpu.SMEM),  # vehicle palette
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # per-tile candidate count
             *([plane_spec] * 8),
         ],
-        out_specs=(out_spec,) * 5,
-        out_shape=(out_shape,) * 5,
+        out_specs=(out_spec,) * 2,
+        out_shape=(jax.ShapeDtypeStruct((E, rows, LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((E, rows, LANES), jnp.float32)),
         interpret=interpret,
-    )(env_scalars, boxes, palette.reshape(-1), *planes)
+    )(env_scalars, boxes, palette.reshape(-1), kmax, *planes)
 
     def unflatten(a):
         # (E, rows, LANES) laid out (cam, sector, row, col-in-sector)
         a = a.reshape(E, 4, n_sectors, H, Ws)
         return a.transpose(0, 1, 3, 2, 4).reshape(E, 4, H, W)
 
-    rgb = jnp.stack([unflatten(r), unflatten(g), unflatten(b)], axis=-1)
+    packed = unflatten(rgbs)
+    rgb = jnp.stack(
+        [(packed & 0xFF).astype(jnp.float32) / 255.0,
+         ((packed >> 8) & 0xFF).astype(jnp.float32) / 255.0,
+         ((packed >> 16) & 0xFF).astype(jnp.float32) / 255.0], axis=-1)
     return {
         "rgb": rgb,
         "depth": unflatten(depth),
-        "sem": unflatten(sem).astype(jnp.int32),
+        "sem": (packed >> 24).astype(jnp.int32),
     }

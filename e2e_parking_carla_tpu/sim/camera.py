@@ -309,6 +309,10 @@ def render_cameras(ego_x, ego_y, ego_yaw, scene: SceneState,
         is_sky[..., None], sky,
         jnp.where(box_in_front[..., None], veh_rgb, ground_rgb))
     rgb = jnp.clip(rgb * brightness, 0.0, 1.0)
+    # 8-bit quantization: the reference trains from PNG-decoded uint8 frames
+    # (carla_dataset.py:494-515), and the Pallas renderer packs RGB into one
+    # int32 plane (ops/render.py) — same rounding keeps the two bit-identical
+    rgb = jnp.round(rgb * 255.0) / 255.0
 
     sem = jnp.where(
         is_sky, 0,

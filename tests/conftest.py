@@ -25,3 +25,17 @@ jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Build the native episode codec so its parity tests run (it otherwise
+# self-skips and the C++ path is never exercised). Graceful fallback: a
+# missing toolchain only re-enables the skip, it never fails collection.
+_native_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "native")
+if not os.path.exists(os.path.join(_native_dir, "libepisode_codec.so")):
+    import subprocess
+
+    try:
+        subprocess.run(["make", "-C", _native_dir], check=True,
+                       capture_output=True, timeout=120)
+    except Exception as e:  # noqa: BLE001 — any build failure just skips
+        print(f"conftest: native codec build skipped ({e})")
