@@ -66,6 +66,10 @@ def main(argv=None):
     ckpt_lib.save_weights_artifact(args.out, params, batch_stats, step=0)
     n = sum(np.size(x) for x in jax_tree_leaves(params))
     print(f"wrote {args.out} ({n / 1e6:.1f}M params)")
+    if not getattr(cfg.model, "torch_parity", False):
+        print("note: evaluate imported weights with `torch_parity: 1` in the "
+              "model config — it selects torch-exact padding/eps semantics "
+              "(whole-model logits parity: tests/test_torch_e2e.py)")
     return 0
 
 

@@ -82,6 +82,16 @@ class ModelConfig:
 
     # TPU-specific knobs (no reference equivalent).
     compute_dtype: str = "bfloat16"  # matmul/conv dtype; params stay float32
+
+    # Torch-exact numerics for imported reference checkpoints: symmetric
+    # (torchvision-style) padding in the BEV resnet's strided convs/maxpool
+    # where the default path uses TF-SAME, BatchNorm eps 1e-5 outside the
+    # EfficientNet trunk, LayerNorm eps 1e-5. Off by default — the shipped
+    # from-scratch checkpoints were trained under the default semantics.
+    # Set true (e.g. `torch_parity: 1` in YAML) when evaluating weights
+    # imported from the reference's released .ckpt via cli.import_ckpt;
+    # tests/test_torch_e2e.py holds the whole-model logits-parity proof.
+    torch_parity: bool = False
     target_noise_px: float = 5.0  # +-px jitter on the target BEV stamp
     # (reference: model/parking_model.py:36-37)
 

@@ -10,22 +10,34 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from e2e_parking_carla_tpu.models.layers import BasicBlock, ConvBNAct, resize_bilinear
+from e2e_parking_carla_tpu.models.layers import (
+    BasicBlock,
+    ConvBNAct,
+    _torch_pad,
+    resize_bilinear,
+)
 
 
 class BevEncoder(nn.Module):
     resize: int = 256
+    torch_parity: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         """x: (B, X, Y, C+1). Returns (B, (resize/16)^2 tokens, 256 ch)."""
         x = resize_bilinear(x, (self.resize, self.resize))
-        x = ConvBNAct(64, kernel=7, stride=2, dtype=self.dtype)(x, train)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        tp = self.torch_parity
+        x = ConvBNAct(64, kernel=7, stride=2,
+                      bn_eps=1e-5 if tp else 1e-3,
+                      padding=_torch_pad(7) if tp else "SAME",
+                      dtype=self.dtype)(x, train)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                        padding=_torch_pad(3) if tp else "SAME")
         for features, stride in ((64, 1), (64, 1), (128, 2), (128, 1),
                                  (256, 2), (256, 1)):
-            x = BasicBlock(features, stride=stride, dtype=self.dtype)(x, train)
+            x = BasicBlock(features, stride=stride, torch_parity=tp,
+                           dtype=self.dtype)(x, train)
         # (B, s, s, 256) -> tokens, row-major spatial order (matches the
         # reference's flatten(2) on NCHW: token index = row*s + col)
         b, s = x.shape[0], x.shape[1]

@@ -25,17 +25,20 @@ class CamEncoder(nn.Module):
         """images: (B*, H, W, 3) normalized RGB. Returns (feat (B*,h,w,C),
         depth_logits (B*,h,w,D))."""
         version = self.cfg.backbone.split("-")[1]
+        tp = getattr(self.cfg, "torch_parity", False)
         s8, s16 = EfficientNetTrunk(version=version, dtype=self.dtype)(images, train)
 
         c16 = s16.shape[-1]
-        feat = DeepLabHead(c16, hidden=64, dtype=self.dtype, name="feature_head")(s16, train)
-        feat = UpsamplingConcat(self.cfg.bev_encoder_in_channel, dtype=self.dtype,
-                                name="feature_up")(feat, s8, train)
+        feat = DeepLabHead(c16, hidden=64, torch_parity=tp, dtype=self.dtype,
+                           name="feature_head")(s16, train)
+        feat = UpsamplingConcat(self.cfg.bev_encoder_in_channel, torch_parity=tp,
+                                dtype=self.dtype, name="feature_up")(feat, s8, train)
 
         if self.cfg.use_depth_distribution:
-            depth = DeepLabHead(c16, hidden=64, dtype=self.dtype, name="depth_head")(s16, train)
-            depth = UpsamplingConcat(self.cfg.depth_channels, dtype=self.dtype,
-                                     name="depth_up")(depth, s8, train)
+            depth = DeepLabHead(c16, hidden=64, torch_parity=tp, dtype=self.dtype,
+                                name="depth_head")(s16, train)
+            depth = UpsamplingConcat(self.cfg.depth_channels, torch_parity=tp,
+                                     dtype=self.dtype, name="depth_up")(depth, s8, train)
         else:
             depth = None
         return feat, depth

@@ -45,6 +45,7 @@ class ControlDecoder(nn.Module):
             TransformerDecoderLayer(
                 dim=cfg.tf_de_dim, heads=cfg.tf_de_heads,
                 ffn_dim=cfg.tf_de_ffn_dim, dropout=cfg.tf_de_dropout,
+                ln_eps=1e-5 if getattr(cfg, "torch_parity", False) else 1e-6,
                 dtype=self.dtype, name=f"layer_{i}")
             for i in range(cfg.tf_de_layers)
         ]

@@ -47,10 +47,11 @@ class FeatureFusion(nn.Module):
         )
         fused = fused + pos
         fused = nn.Dropout(cfg.tf_en_dropout, deterministic=not train)(fused)
+        ln_eps = 1e-5 if getattr(cfg, "torch_parity", False) else 1e-6
         for _ in range(cfg.tf_en_layers):
             fused = TransformerEncoderLayer(
                 dim=cfg.tf_en_dim, heads=cfg.tf_en_heads,
                 ffn_dim=cfg.tf_en_ffn_dim, dropout=cfg.tf_en_dropout,
-                dtype=self.dtype,
+                ln_eps=ln_eps, dtype=self.dtype,
             )(fused, train)
         return fused

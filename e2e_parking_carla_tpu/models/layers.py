@@ -11,7 +11,7 @@ model/control_predict.py:18-19.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Any, Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -26,26 +26,40 @@ def resize_bilinear(x, size):
 
 
 class ConvBNAct(nn.Module):
-    """Conv -> BatchNorm -> activation."""
+    """Conv -> BatchNorm -> activation.
+
+    `padding` defaults to TF-style SAME (what efficientnet_pytorch's
+    Conv2dStaticSamePadding computes). torch's plain Conv2d(padding=k//2)
+    differs from SAME at stride 2 on even inputs — pass explicit symmetric
+    padding (and bn_eps=1e-5, the torch BatchNorm2d default) to reproduce
+    torchvision-style modules exactly (see ModelConfig.torch_parity)."""
 
     features: int
     kernel: int = 3
     stride: int = 1
     groups: int = 1
     act: Optional[Callable] = nn.relu
+    bn_eps: float = 1e-3
+    padding: Any = "SAME"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=self.stride, padding="SAME",
+                    strides=self.stride, padding=self.padding,
                     feature_group_count=self.groups, use_bias=False,
                     dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-3, dtype=jnp.float32)(x)
+                         epsilon=self.bn_eps, dtype=jnp.float32)(x)
         if self.act is not None:
             x = self.act(x)
         return x
+
+
+def _torch_pad(kernel: int):
+    """torch Conv2d(padding=kernel//2) as an explicit flax padding tuple."""
+    p = kernel // 2
+    return ((p, p), (p, p))
 
 
 class SqueezeExcite(nn.Module):
@@ -111,11 +125,14 @@ class ASPP(nn.Module):
 
     features: int
     rates: Sequence[int] = (12, 24, 36)
+    torch_parity: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        outs = [ConvBNAct(self.features, kernel=1, dtype=self.dtype)(x, train)]
+        eps = 1e-5 if self.torch_parity else 1e-3
+        outs = [ConvBNAct(self.features, kernel=1, bn_eps=eps,
+                          dtype=self.dtype)(x, train)]
         for rate in self.rates:
             h = nn.Conv(self.features, (3, 3), padding="SAME",
                         kernel_dilation=rate, use_bias=False, dtype=self.dtype)(x)
@@ -123,7 +140,8 @@ class ASPP(nn.Module):
             outs.append(nn.relu(h))
         outs.append(ASPPPooling(self.features, dtype=self.dtype)(x, train))
         h = jnp.concatenate(outs, axis=-1)
-        h = ConvBNAct(self.features, kernel=1, dtype=self.dtype)(h, train)
+        h = ConvBNAct(self.features, kernel=1, bn_eps=eps,
+                      dtype=self.dtype)(h, train)
         h = nn.Dropout(0.5, deterministic=not train)(h)
         return h
 
@@ -135,12 +153,15 @@ class DeepLabHead(nn.Module):
 
     features: int
     hidden: int = 64
+    torch_parity: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ASPP(self.hidden, dtype=self.dtype)(x, train)
-        x = ConvBNAct(self.hidden, kernel=3, dtype=self.dtype)(x, train)
+        eps = 1e-5 if self.torch_parity else 1e-3
+        x = ASPP(self.hidden, torch_parity=self.torch_parity,
+                 dtype=self.dtype)(x, train)
+        x = ConvBNAct(self.hidden, kernel=3, bn_eps=eps, dtype=self.dtype)(x, train)
         x = nn.Conv(self.features, (1, 1), dtype=self.dtype)(x)
         return x
 
@@ -150,33 +171,41 @@ class UpsamplingConcat(nn.Module):
     (reference convolutions.py:183-201)."""
 
     features: int
+    torch_parity: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
+        eps = 1e-5 if self.torch_parity else 1e-3
         x = resize_bilinear(x, (skip.shape[1], skip.shape[2]))
         x = jnp.concatenate([x, skip], axis=-1)
-        x = ConvBNAct(self.features, kernel=3, dtype=self.dtype)(x, train)
-        x = ConvBNAct(self.features, kernel=3, dtype=self.dtype)(x, train)
+        x = ConvBNAct(self.features, kernel=3, bn_eps=eps, dtype=self.dtype)(x, train)
+        x = ConvBNAct(self.features, kernel=3, bn_eps=eps, dtype=self.dtype)(x, train)
         return x
 
 
 class BasicBlock(nn.Module):
-    """ResNet-18 basic block."""
+    """ResNet-18 basic block. With torch_parity, padding/eps follow
+    torchvision's resnet (symmetric k//2 padding, BN eps 1e-5) so imported
+    reference checkpoints reproduce torch activations exactly."""
 
     features: int
     stride: int = 1
+    torch_parity: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        eps = 1e-5 if self.torch_parity else 1e-3
+        pad3 = _torch_pad(3) if self.torch_parity else "SAME"
         identity = x
         h = ConvBNAct(self.features, kernel=3, stride=self.stride,
-                      dtype=self.dtype)(x, train)
-        h = ConvBNAct(self.features, kernel=3, act=None, dtype=self.dtype)(h, train)
+                      bn_eps=eps, padding=pad3, dtype=self.dtype)(x, train)
+        h = ConvBNAct(self.features, kernel=3, act=None, bn_eps=eps,
+                      padding=pad3, dtype=self.dtype)(h, train)
         if self.stride != 1 or x.shape[-1] != self.features:
             identity = ConvBNAct(self.features, kernel=1, stride=self.stride,
-                                 act=None, dtype=self.dtype)(x, train)
+                                 act=None, bn_eps=eps, dtype=self.dtype)(x, train)
         return nn.relu(h + identity)
 
 
@@ -198,6 +227,7 @@ class TransformerEncoderLayer(nn.Module):
     heads: int
     ffn_dim: int = 2048
     dropout: float = 0.0
+    ln_eps: float = 1e-6  # torch nn.LayerNorm default is 1e-5 (torch_parity)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -206,13 +236,13 @@ class TransformerEncoderLayer(nn.Module):
             num_heads=self.heads, qkv_features=self.dim, dtype=self.dtype,
             dropout_rate=self.dropout, deterministic=not train,
         )(x, x, mask=mask, sow_weights=True)
-        x = nn.LayerNorm(dtype=jnp.float32)(x + nn.Dropout(
+        x = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32)(x + nn.Dropout(
             self.dropout, deterministic=not train)(attn))
         h = nn.Dense(self.ffn_dim, dtype=self.dtype)(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = nn.Dense(self.dim, dtype=self.dtype)(h)
-        x = nn.LayerNorm(dtype=jnp.float32)(x + nn.Dropout(
+        x = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32)(x + nn.Dropout(
             self.dropout, deterministic=not train)(h))
         return x
 
@@ -224,6 +254,7 @@ class TransformerDecoderLayer(nn.Module):
     heads: int
     ffn_dim: int = 2048
     dropout: float = 0.0
+    ln_eps: float = 1e-6  # torch nn.LayerNorm default is 1e-5 (torch_parity)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -233,18 +264,18 @@ class TransformerDecoderLayer(nn.Module):
             num_heads=self.heads, qkv_features=self.dim, dtype=self.dtype,
             dropout_rate=self.dropout, deterministic=not train,
         )(tgt, tgt, mask=self_mask)
-        tgt = nn.LayerNorm(dtype=jnp.float32)(tgt + nn.Dropout(
+        tgt = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32)(tgt + nn.Dropout(
             self.dropout, deterministic=not train)(sa))
         ca = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, qkv_features=self.dim, dtype=self.dtype,
             dropout_rate=self.dropout, deterministic=not train,
         )(tgt, memory, mask=cross_mask)
-        tgt = nn.LayerNorm(dtype=jnp.float32)(tgt + nn.Dropout(
+        tgt = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32)(tgt + nn.Dropout(
             self.dropout, deterministic=not train)(ca))
         h = nn.Dense(self.ffn_dim, dtype=self.dtype)(tgt)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = nn.Dense(self.dim, dtype=self.dtype)(h)
-        tgt = nn.LayerNorm(dtype=jnp.float32)(tgt + nn.Dropout(
+        tgt = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32)(tgt + nn.Dropout(
             self.dropout, deterministic=not train)(h))
         return tgt

@@ -77,7 +77,9 @@ class ParkingModel(nn.Module):
     def setup(self):
         dt = self.dtype
         self.cam_encoder = CamEncoder(self.cfg, dtype=dt)
-        self.bev_encoder = BevEncoder(resize=self.cfg.bev_encoder_resize, dtype=dt)
+        self.bev_encoder = BevEncoder(
+            resize=self.cfg.bev_encoder_resize,
+            torch_parity=getattr(self.cfg, "torch_parity", False), dtype=dt)
         self.feature_fusion = FeatureFusion(self.cfg, dtype=dt)
         if self.cfg.decoder_type == "mlp":
             self.control_decoder = MLPControlDecoder(self.cfg, dtype=dt)

@@ -80,11 +80,14 @@ class ClosedLoopProbe:
         m = self._score_current()
         score = m["probe_score"]
 
-        host = (jax.device_get(variables["params"]),
-                jax.device_get(variables.get("batch_stats", {})))
-        self._top.append((score, step, host[0], host[1]))
-        self._top.sort(key=lambda t: -t[0])
-        del self._top[self.top_k:]
+        # snapshot to host ONLY when the score makes the top-K: device_get
+        # of a full weight set is tens of seconds over a tunneled backend
+        if len(self._top) < self.top_k or score > self._top[-1][0]:
+            host = (jax.device_get(variables["params"]),
+                    jax.device_get(variables.get("batch_stats", {})))
+            self._top.append((score, step, host[0], host[1]))
+            self._top.sort(key=lambda t: -t[0])
+            del self._top[self.top_k:]
 
         if self.best_score is None or score > self.best_score:
             self.best_score = score
