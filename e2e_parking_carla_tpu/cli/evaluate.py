@@ -36,6 +36,16 @@ def parse_args(argv=None):
                         "set) instead of the raw SGD iterate")
     p.add_argument("--no_speed_limit", action="store_true",
                    help="ablation: disable the agent speed-limit heuristics")
+    p.add_argument("--show_eva_imgs", action="store_true",
+                   help="live view (reference carla_parking_eva.py flag): "
+                        "run ONE attempt step-by-step with a pygame panel "
+                        "of cameras + predicted BEV (GIF fallback when "
+                        "headless) instead of the batched protocol")
+    p.add_argument("--live_slot", type=int, default=0,
+                   help="with --show_eva_imgs: eval-slot index (0..15)")
+    p.add_argument("--live_gif", default=None,
+                   help="with --show_eva_imgs: write this GIF instead of "
+                        "opening a window")
     p.add_argument("--smoke", action="store_true")
     return p.parse_args(argv)
 
@@ -140,6 +150,19 @@ def main(argv=None):
         state = mngr.restore(skeleton, step=args.ckpt_step or mngr.latest_step())
         params = state.ema_params if args.ema else state.params
         variables = {"params": params, "batch_stats": state.batch_stats}
+
+    if args.show_eva_imgs:
+        from e2e_parking_carla_tpu.eval.live import run_live_eval
+        from e2e_parking_carla_tpu.sim import scene as scene_lib
+        from e2e_parking_carla_tpu.sim.env import Status
+
+        target = int(scene_lib.EVAL_GOAL_INDICES[args.live_slot
+                                                 % len(scene_lib.EVAL_GOAL_INDICES)])
+        status = run_live_eval(model, variables, cfg, target_idx=target,
+                               seed=args.random_seed, out_gif=args.live_gif)
+        names = {v: k for k, v in vars(Status).items() if isinstance(v, int)}
+        print(f"live attempt finished: {names.get(status, status)}")
+        return 0
 
     ev = ClosedLoopEvaluator(model, variables, cfg)
     overall, _ = ev.run(out_dir=args.eva_result_path, epochs=cfg.eval.epochs)

@@ -248,6 +248,24 @@ def test_closed_loop_probe_and_soup(model_state, tmp_path):
         np.asarray(leaf_s), rtol=1e-6)
 
 
+def test_live_eval_view(model_state, tmp_path):
+    """Step-by-step live eval viewer (eval/live.py, the reference's
+    --show_eva_imgs panel): headless GIF fallback must roll an attempt and
+    write frames."""
+    from e2e_parking_carla_tpu.eval.live import run_live_eval
+
+    model, state, _ = model_state
+    cfg = dataclasses.replace(
+        TINY_CFG, eval=EvalConfig(frames_total_needed=150,
+                                  frames_outbound_needed=60))
+    gif = str(tmp_path / "live.gif")
+    status = run_live_eval(
+        model, {"params": state.params, "batch_stats": state.batch_stats},
+        cfg, target_idx=17, out_gif=gif, max_steps=4)
+    assert os.path.exists(gif)
+    assert isinstance(status, int)
+
+
 def test_mesh_fsdp(model_state):
     """Full train step with ZeRO-3-style param sharding over 4 devices."""
     model, state, batch = model_state
