@@ -55,6 +55,11 @@ def parse_args(argv=None):
                    help="override TrainConfig.dagger_start_step")
     p.add_argument("--ema_decay", type=float, default=None,
                    help="override TrainConfig.ema_decay (0 disables EMA)")
+    p.add_argument("--dart_steer", type=float, default=None,
+                   help="override TrainConfig.dart_steer_sigma (DART "
+                        "noise-injected expert collection; 0 disables)")
+    p.add_argument("--dart_accel", type=float, default=None,
+                   help="override TrainConfig.dart_accel_sigma")
     return p.parse_args(argv)
 
 
@@ -88,6 +93,14 @@ def main(argv=None):
     if args.ema_decay is not None:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, ema_decay=args.ema_decay))
+    if args.dart_steer is not None:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           dart_steer_sigma=args.dart_steer))
+    if args.dart_accel is not None:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           dart_accel_sigma=args.dart_accel))
     if args.smoke:
         tiny = dataclasses.replace(
             ModelConfig(), backbone="efficientnet-b0", image_crop=32,

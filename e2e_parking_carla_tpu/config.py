@@ -299,6 +299,23 @@ class TrainConfig:
     # dominate uniform frame sampling)
     dagger_drop_timeout: bool = True
 
+    # DART-style noise injection during EXPERT data collection (Laskey et
+    # al. 2017): the executed control is the expert's action plus
+    # OU-correlated noise, while the recorded label stays the expert's CLEAN
+    # action at every visited state. Covers the off-manifold neighborhood of
+    # the expert manifold — where imitation errors otherwise become
+    # collisions (measured: the reverse-arc phase passes within 0.15-0.30 m
+    # of the next slot's parked car) — WITHOUT the timidity that policy-
+    # rollout DAgger labels teach (round-2: TR 7%->65%). sigma=0 disables.
+    dart_steer_sigma: float = 0.0
+    dart_accel_sigma: float = 0.0
+    # OU correlation time in seconds (iid 30 Hz noise is averaged out by
+    # vehicle inertia; ~0.5 s excursions actually displace the path)
+    dart_tau: float = 0.5
+    # noise attenuation inside the precision phases (TRIM/HOLD) so the
+    # success gates (|v|<0.05, 0.04 m centering) stay reachable
+    dart_trim_scale: float = 0.3
+
     # Cosine-schedule floor as a fraction of the peak LR (reference
     # CosineAnnealingLR decays to 0, pl_trainer.py:116-121; a small floor
     # keeps the late-schedule iterates moving so the EMA/probe-soup
@@ -314,6 +331,10 @@ class TrainConfig:
     # full protocol)
     probe_seeds: int = 2
     probe_top_k: int = 5
+    # CR weight in the probe selection score TSR - w*CR - 0.5*TR (the
+    # round-3 deliverable gates on CR <= 5 next to TSR >= 75, so selection
+    # must prefer clean checkpoints over slightly-higher-TSR dirty ones)
+    probe_cr_weight: float = 2.0
 
     # mesh axes: batch is sharded over 'data'; attention heads / mlp hidden
     # over 'model' when model_axis > 1

@@ -67,11 +67,24 @@ class EpisodeBuffer:
 
 def collect_episodes(key: jax.Array, n_envs: int, model_cfg: ModelConfig,
                      sim_cfg: SimConfig, eval_cfg: EvalConfig,
-                     max_frames: int = 900) -> EpisodeBuffer:
+                     max_frames: int = 900,
+                     dart_steer_sigma: float = 0.0,
+                     dart_accel_sigma: float = 0.0,
+                     dart_tau: float = 0.5,
+                     dart_trim_scale: float = 0.3) -> EpisodeBuffer:
     """Run `n_envs` expert episodes (random goal slot + start pose + scene,
     mirroring the data-gen protocol) and snapshot every `policy_every`-th
-    frame. Fully jittable; the whole fleet is one lax.scan."""
-    k_goal, k_pose, k_scene, k_weather = jax.random.split(key, 4)
+    frame. Fully jittable; the whole fleet is one lax.scan.
+
+    With `dart_*_sigma > 0` the rollout is DART-style (noise-injected
+    expert, config.py TrainConfig docs): OU-correlated noise perturbs the
+    EXECUTED steer/accel while the snapshot records the expert's CLEAN
+    action as the label at every visited state. Per-env noise amplitude is
+    drawn uniform in [0, 1]x sigma, so each refresh spans clean
+    demonstrations through strongly perturbed ones; episodes the noise
+    pushes into collision/timeout fail the success gate and are excluded by
+    `valid` as usual."""
+    k_goal, k_pose, k_scene, k_weather, k_amp, k_noise = jax.random.split(key, 6)
     goal_choices = jnp.asarray(scene_lib.DATAGEN_GOAL_INDICES)
     targets = goal_choices[jax.random.randint(k_goal, (n_envs,), 0, len(goal_choices))]
     goal_y = jnp.asarray(scene_lib.SLOT_XY)[targets, 1]
@@ -82,11 +95,35 @@ def collect_episodes(key: jax.Array, n_envs: int, model_cfg: ModelConfig,
     weather = jax.random.randint(k_weather, (n_envs,), 0, 14)
     est = ExpertState.init((n_envs,))
 
-    def body(carry, _):
-        s, e = carry
+    use_dart = dart_steer_sigma > 0.0 or dart_accel_sigma > 0.0
+    # per-env amplitude scale in [0, 1]: half the value-mass near clean
+    # demonstrations, the rest increasingly perturbed
+    amp = jax.random.uniform(k_amp, (n_envs,))
+    # OU discretization at the sim rate
+    rho = jnp.exp(-1.0 / (sim_cfg.fps * dart_tau))
+    ou_scale = jnp.sqrt(1.0 - rho * rho)
+
+    def body(carry, k_t):
+        s, e, n_ou = carry
         ctrl, e = jax.vmap(lambda a, b, c: expert_policy(a, b, c, sim_cfg))(
             s.ego, s.scene, e)
-        s_next = jax.vmap(lambda st, c: step_env(st, c, sim_cfg, eval_cfg))(s, ctrl)
+        if use_dart:
+            eps = jax.random.normal(k_t, (n_envs, 2))
+            n_ou = rho * n_ou + ou_scale * eps
+            # precision phases (TRIM=3 / HOLD=4) get attenuated noise
+            atten = jnp.where(e.phase >= 3, dart_trim_scale, 1.0)
+            n_steer = n_ou[:, 0] * dart_steer_sigma * amp * atten
+            n_acc = n_ou[:, 1] * dart_accel_sigma * amp * atten
+            acc = jnp.clip(ctrl.throttle - ctrl.brake + n_acc, -1.0, 1.0)
+            exec_ctrl = ctrl.replace(
+                steer=jnp.clip(ctrl.steer + n_steer, -1.0, 1.0),
+                throttle=jnp.maximum(acc, 0.0),
+                brake=jnp.maximum(-acc, 0.0),
+            )
+        else:
+            exec_ctrl = ctrl
+        s_next = jax.vmap(lambda st, c: step_env(st, c, sim_cfg, eval_cfg))(
+            s, exec_ctrl)
         snap = {
             "x": s.ego.x, "y": s.ego.y, "yaw": s.ego.yaw,
             # km/h magnitude — the reference records 3.6*|v| into
@@ -96,9 +133,11 @@ def collect_episodes(key: jax.Array, n_envs: int, model_cfg: ModelConfig,
             "throttle": ctrl.throttle, "brake": ctrl.brake, "steer": ctrl.steer,
             "reverse": ctrl.reverse, "status": s_next.status,
         }
-        return (s_next, e), snap
+        return (s_next, e, n_ou), snap
 
-    (final, _), traj = jax.lax.scan(body, (states, est), None, length=max_frames)
+    step_keys = jax.random.split(k_noise, max_frames)
+    (final, _, _), traj = jax.lax.scan(
+        body, (states, est, jnp.zeros((n_envs, 2))), step_keys)
     # subsample to the 10 Hz policy/save rate (reference data_generator.py:35)
     k = sim_cfg.policy_every
     traj10 = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1)[:, ::k], traj)  # (E, T)

@@ -70,7 +70,12 @@ def train_loop(
 
     n_dagger = int(round(n_envs * cfg.train.dagger_envs_frac))
     collect = jax.jit(
-        lambda key: collect_episodes(key, n_envs, cfg.model, cfg.sim, cfg.eval))
+        lambda key: collect_episodes(
+            key, n_envs, cfg.model, cfg.sim, cfg.eval,
+            dart_steer_sigma=getattr(cfg.train, "dart_steer_sigma", 0.0),
+            dart_accel_sigma=getattr(cfg.train, "dart_accel_sigma", 0.0),
+            dart_tau=getattr(cfg.train, "dart_tau", 0.5),
+            dart_trim_scale=getattr(cfg.train, "dart_trim_scale", 0.3)))
 
     def _predict(variables, images, ego_motion, target_point):
         return model.apply(variables, images, ego_motion, target_point,

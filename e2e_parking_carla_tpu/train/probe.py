@@ -20,8 +20,10 @@ Round-3 additions (VERDICT round-2 item 2 — kill the selection variance):
   independently-good EMA iterates from the flat end of the cosine schedule
   is a standard variance reducer (model soup over one trajectory).
 
-Score = TSR - CR - 0.5*TR: success first, with collisions (the round-1
-failure mode: CR 18% vs the paper's 2%) and timeouts penalized.
+Score = TSR - w_cr*CR - 0.5*TR (w_cr = TrainConfig.probe_cr_weight,
+default 2): success first, with collisions (the round-1 failure mode:
+CR 18% vs the paper's 2%) weighted harder than raw success because the
+shipped-artifact gate is TSR >= 75 AND CR <= 5, and timeouts penalized.
 """
 
 from __future__ import annotations
@@ -54,6 +56,10 @@ class ClosedLoopProbe:
             getattr(cfg.train, "probe_seeds", 1)
         self.top_k = top_k if top_k is not None else \
             getattr(cfg.train, "probe_top_k", 5)
+        # CR weight in the selection score. The deliverable has a hard
+        # CR <= 5 gate next to TSR >= 75, so collisions cost double: a
+        # +1 TSR / +1 CR trade is NOT neutral for the shipped artifact.
+        self.cr_weight = getattr(cfg.train, "probe_cr_weight", 2.0)
         self.best_score: Optional[float] = None
         self.best_step: Optional[int] = None
         # top-K snapshots as host arrays: list of (score, step, params,
@@ -68,7 +74,8 @@ class ClosedLoopProbe:
             final = self.ev.run_epoch(seed=s)
             ms.append(jax.tree.map(float, eval_metrics(final, self.cfg.eval)))
         m = {k: float(np.mean([d[k] for d in ms])) for k in ms[0]}
-        m["probe_score"] = m["TSR"] - m["CR"] - 0.5 * m["TR"]
+        m["probe_score"] = (m["TSR"] - self.cr_weight * m["CR"]
+                            - 0.5 * m["TR"])
         return m
 
     def __call__(self, variables, step: int, export_path: Optional[str] = None):
@@ -101,17 +108,23 @@ class ClosedLoopProbe:
         return m
 
     # ------------------------------------------------------------------
-    def soup_variables(self):
-        """Parameter average of the current top-K probe snapshots (batch
-        stats from the best snapshot — BN statistics drift slowly and
-        averaging them across distant steps is not obviously meaningful).
-        Returns None if no probe has run."""
+    def soup_variables(self, step_window: int = 6000):
+        """Parameter average of the top-K probe snapshots within
+        `step_window` steps of the best one (batch stats from the best
+        snapshot — BN statistics drift slowly and averaging them across
+        distant steps is not obviously meaningful). Measured (30k b0 run):
+        an unwindowed soup spanning steps 16k..30k scored 16.1 where its
+        best member alone scored 40.6 — averaging weights from distant
+        points of the trajectory is NOT a variance reducer, only averaging
+        adjacent late-schedule iterates is. Returns None if no probe ran."""
         if not self._top:
             return None
-        n = len(self._top)
+        best_step = self._top[0][1]
+        members = [t for t in self._top
+                   if abs(t[1] - best_step) <= step_window]
         params = jax.tree.map(
             lambda *xs: np.mean(np.stack(xs, 0), 0).astype(xs[0].dtype),
-            *[t[2] for t in self._top])
+            *[t[2] for t in members])
         return {"params": params, "batch_stats": self._top[0][3]}
 
     def export_soup(self, export_path: str):
@@ -126,4 +139,6 @@ class ClosedLoopProbe:
         ckpt_lib.save_weights_artifact(export_path, soup["params"],
                                        soup["batch_stats"],
                                        step=self._top[0][1])
-        return m, [t[1] for t in self._top]
+        best_step = self._top[0][1]
+        return m, [t[1] for t in self._top
+                   if abs(t[1] - best_step) <= 6000]

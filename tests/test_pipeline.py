@@ -287,3 +287,56 @@ def test_mesh_fsdp(model_state):
     specs = param_sharding(state.params, mesh, fsdp=True)
     flat = jax.tree_util.tree_flatten_with_path(specs)[0]
     assert any("data" in str(s.spec) for _, s in flat)
+
+
+def test_dart_noise_off_is_bit_exact(buffer):
+    """sigma=0 must reproduce the pre-DART collection exactly (same RNG
+    consumption for goals/poses/scenes/weather)."""
+    buf2 = jax.jit(
+        lambda k: collect_episodes(k, 4, TINY_MODEL, TINY_SIM, EvalConfig(),
+                                   dart_steer_sigma=0.0, dart_accel_sigma=0.0)
+    )(jax.random.PRNGKey(0))
+    for f in ("ego_x", "ego_y", "ego_yaw", "steer", "throttle", "valid"):
+        np.testing.assert_array_equal(np.asarray(getattr(buffer, f)),
+                                      np.asarray(getattr(buf2, f)))
+
+
+def test_dart_labels_are_clean_expert_actions():
+    """DART contract: the EXECUTED control is perturbed (trajectories
+    deviate from the clean rollout) but the RECORDED label at each visited
+    state is the expert's clean action recomputed at that state."""
+    from e2e_parking_carla_tpu.sim.env import EgoState, SceneState, reset_env
+    from e2e_parking_carla_tpu.sim.expert import ExpertState, expert_policy
+
+    k = jax.random.PRNGKey(5)
+    clean = jax.jit(lambda kk: collect_episodes(
+        kk, 4, TINY_MODEL, TINY_SIM, EvalConfig()))(k)
+    noisy = jax.jit(lambda kk: collect_episodes(
+        kk, 4, TINY_MODEL, TINY_SIM, EvalConfig(),
+        dart_steer_sigma=0.4, dart_accel_sigma=0.25))(k)
+    # same scenes/goals (identical RNG for scene sampling)...
+    np.testing.assert_array_equal(np.asarray(clean.target_idx),
+                                  np.asarray(noisy.target_idx))
+    # ...but the executed paths deviate
+    assert np.abs(np.asarray(clean.ego_x) - np.asarray(noisy.ego_x)).max() > 0.05
+    # label check: replay expert_policy through the noisy buffer's states.
+    # The expert is a *stateful* phase machine, so replay it sequentially at
+    # the same 10 Hz cadence over the stored states of one episode and
+    # compare the stored labels where the phase machines agree; steer labels
+    # must match the clean recomputation exactly at every visited state.
+    e = 0
+    est = ExpertState.init(())
+    sc = SceneState(npc_valid=noisy.npc_valid[e], npc_yaw=noisy.npc_yaw[e],
+                    goal_free=~noisy.npc_valid[e], target_idx=noisy.target_idx[e])
+    n_match = 0
+    for t in range(0, 40):
+        ego = EgoState(
+            x=noisy.ego_x[e, t], y=noisy.ego_y[e, t], yaw=noisy.ego_yaw[e, t],
+            v=jnp.float32(0.0), acc_x=noisy.acc_x[e, t], acc_y=noisy.acc_y[e, t])
+        ctrl, est = expert_policy(ego, sc, est, TINY_SIM)
+        # steer depends only on pose+phase (not v), so it must match exactly
+        if int(est.phase) == 0:  # phase machines comparable pre-arc
+            np.testing.assert_allclose(float(ctrl.steer),
+                                       float(noisy.steer[e, t]), atol=1e-4)
+            n_match += 1
+    assert n_match > 3
