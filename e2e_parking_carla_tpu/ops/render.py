@@ -79,8 +79,33 @@ def _static_tables(sim_cfg: SimConfig, n_sectors: int = SECTORS):
     dev = az - center[:, :, None, None]
     dev = (dev + np.pi) % (2 * np.pi) - np.pi
     half = np.abs(dev).max(axis=(2, 3))
+
+    # ---- per-tile-row ELEVATION-BAND statics ----
+    # A box hit can only affect the output at ray params t inside
+    # [max(zn, 0), min(zf, tg)] (enter the vehicle z-slab, in front of the
+    # ground hit — hits beyond tg are overwritten by ground in the
+    # composite). Convert to HORIZONTAL metres (t * |d_xy|, the same measure
+    # as the XY-circle cull distances) and aggregate per tile row: a
+    # candidate at horizontal distance d can appear in a row iff
+    # [d - r_box, d + r_box] overlaps the row's [lo, hi]. Rows of pure sky /
+    # steep ground get empty windows, so whole elevation bands of the image
+    # statically cull their box loop (VERDICT r2 item 5).
+    norm_xy = np.sqrt(tab["dx"].astype(np.float64) ** 2
+                      + tab["dy"].astype(np.float64) ** 2)
+    wlo = np.maximum(tab["zn"], 0.0) * norm_xy
+    whi = np.minimum(tab["zf"], tab["tg"]) * norm_xy
+    wvalid = (tab["zf"] > 0.0) & (whi > wlo)
+    wlo = np.where(wvalid, wlo, np.inf)
+    whi = np.where(wvalid, whi, -np.inf)
+    n_tiles = N * n_sectors
+    row_lo = sectorize(wlo).reshape(n_tiles, -1, LANES).min(axis=2)
+    row_hi = sectorize(whi).reshape(n_tiles, -1, LANES).max(axis=2)
+    sky_row = (sectorize(tab["tg"]).reshape(n_tiles, -1, LANES)
+               >= cam_lib.SKY_DEPTH).all(axis=2)
+    bands = {"row_lo": row_lo.astype(np.float32),
+             "row_hi": row_hi.astype(np.float32), "sky_row": sky_row}
     return (planes, center.astype(np.float32), half.astype(np.float32),
-            org.astype(np.float32))
+            org.astype(np.float32), bands)
 
 
 def _line_intensity(px, py):
@@ -99,7 +124,12 @@ def _line_intensity(px, py):
     return jnp.where(on_x | on_y, 1.0, 0.0)
 
 
-def _make_kernel(sim_cfg: SimConfig, n_boxes: int):
+def _make_kernel(sim_cfg: SimConfig, n_boxes: int, n_bands: int = 1):
+    """n_bands > 1: each (camera, sector) tile is split into `n_bands`
+    elevation bands (contiguous tile-row blocks); kmax_ref then holds a
+    packed 4-bit per-band candidate count and skyband_ref a static all-sky
+    flag per (tile, band) — bands whose static z-slab window excludes every
+    candidate skip the box loop, all-sky bands skip the ground math too."""
     hl = float(sim_cfg.npc_half_length)
     hw = float(sim_cfg.npc_half_width)
     sl = float(sim_cfg.slot_half_length)
@@ -107,10 +137,12 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int):
     SKY = cam_lib.SKY_DEPTH
     eps = 1e-8
 
-    def kernel(env_ref, boxes_ref, pal_ref, kmax_ref, dx_ref, dy_ref, ox_ref,
+    def kernel(env_ref, boxes_ref, pal_ref, kmax_ref, skyband_ref,
+               dx_ref, dy_ref, ox_ref,
                oy_ref, tg_ref, elev_ref, zn_ref, zf_ref,
                rgbs_ref, depth_ref):
-        t = pl.program_id(0)
+        tb = pl.program_id(0)
+        t = tb // n_bands if n_bands > 1 else tb
         e = pl.program_id(1)
         ex = env_ref[e, 0]
         ey = env_ref[e, 1]
@@ -197,21 +229,35 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int):
                 return carry
             return jax.lax.fori_loop(0, n_boxes, body, init)
 
-        # elevation/occupancy skip: tiles whose sector cull kept ZERO boxes
-        # (sky-facing sectors, sectors looking at empty lot) bypass the box
-        # loop entirely — bit-exact, since invalid candidates are no-ops
+        # elevation/occupancy skip: tiles/bands whose cull kept ZERO boxes
+        # (sky-facing sectors, sectors looking at empty lot, elevation bands
+        # outside every candidate's z-slab window) bypass the box loop
+        # entirely — bit-exact, since invalid candidates are no-ops
+        if n_bands > 1:
+            k_here = (kmax_ref[e, t] >> (4 * (tb % n_bands))) & 15
+        else:
+            k_here = kmax_ref[e, t]
         t_box, vr, vg, vb = jax.lax.cond(
-            kmax_ref[e, t] > 0, run_boxes, lambda _: init, None)
+            k_here > 0, run_boxes, lambda _: init, None)
 
-        # ---- ground shading ----
-        pgx = owx + tg * dwx
-        pgy = owy + tg * dwy
-        line = _line_intensity(pgx, pgy)
-        in_target = (jnp.abs(pgx - tgx) <= sl) & (jnp.abs(pgy - tgy) <= sw)
-        gray = 0.32 + 0.55 * line
-        gr = jnp.where(in_target, gray * 0.4 + 0.55, gray)
-        gg = jnp.where(in_target, gray * 0.4, gray)
-        gb = jnp.where(in_target, gray * 0.4, gray)
+        # ---- ground shading (skipped on statically all-sky bands) ----
+        def run_ground(_):
+            pgx = owx + tg * dwx
+            pgy = owy + tg * dwy
+            line = _line_intensity(pgx, pgy)
+            in_t = (jnp.abs(pgx - tgx) <= sl) & (jnp.abs(pgy - tgy) <= sw)
+            gray = 0.32 + 0.55 * line
+            return (jnp.where(in_t, gray * 0.4 + 0.55, gray),
+                    jnp.where(in_t, gray * 0.4, gray),
+                    jnp.where(in_t, gray * 0.4, gray),
+                    in_t)
+
+        def no_ground(_):
+            z = jnp.zeros(shape, jnp.float32)
+            return z, z, z, jnp.zeros(shape, jnp.bool_)
+
+        gr, gg, gb, in_target = jax.lax.cond(
+            skyband_ref[tb] == 0, run_ground, no_ground, None)
 
         # ---- sky (elevation factor is a static table) ----
         elev = elev_ref[:]
@@ -250,10 +296,11 @@ def _wrap(a):
 
 
 @functools.partial(jax.jit, static_argnames=("sim_cfg", "n_boxes", "interpret",
-                                              "n_sectors"))
+                                              "n_sectors", "bands"))
 def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
                           weather=None, n_boxes: int = 3,
-                          interpret: bool = False, n_sectors: int = SECTORS):
+                          interpret: bool = False, n_sectors: int = SECTORS,
+                          bands: bool = True):
     """Batched fused render. ego_* are (E,); scene is a batched SceneState.
 
     n_boxes: candidate boxes kept per (camera, sector) tile — the culling
@@ -276,7 +323,8 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
     n_tiles = 4 * n_sectors
     n_boxes = min(n_boxes, scene_lib.NUM_SLOTS)
 
-    planes_np, az_center, az_half, origins = _static_tables(sim_cfg, n_sectors)
+    planes_np, az_center, az_half, origins, band_tabs = _static_tables(
+        sim_cfg, n_sectors)
     planes = tuple(jnp.asarray(planes_np[k])
                    for k in ("dx", "dy", "ox", "oy", "tg", "elev", "zn", "zf"))
 
@@ -356,29 +404,68 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
     # per-(env, tile) surviving-candidate count, for the kernel's box-loop
     # skip; candidates are distance-ordered so valid ones form a prefix
     sel_valid = jnp.take_along_axis(vis, top_idx, axis=-1)  # (E, 4, sec, K)
-    kmax = sel_valid.sum(axis=-1).reshape(E, n_tiles).astype(jnp.int32)
 
-    kernel = _make_kernel(sim_cfg, n_boxes)
-    plane_spec = pl.BlockSpec((tile_rows, LANES), lambda t, e: (t, 0),
+    # ---- elevation bands (VERDICT r2 item 5) ----
+    # Split each tile into B elevation bands when the 4-bit-per-band count
+    # packing allows it (n_boxes <= 15) and the sub-tile keeps Mosaic's
+    # 8-sublane alignment. Static per band: the z-slab visibility window
+    # [lo, hi] in horizontal metres and the all-sky flag.
+    n_bands = 1
+    if bands and n_boxes <= 15:
+        for cand in (8, 4, 2):
+            if tile_rows % cand == 0 and (tile_rows // cand) % 8 == 0:
+                n_bands = cand
+                break
+    band_rows = tile_rows // n_bands
+    row_lo = band_tabs["row_lo"].reshape(n_tiles, n_bands, -1).min(axis=2)
+    row_hi = band_tabs["row_hi"].reshape(n_tiles, n_bands, -1).max(axis=2)
+    skyband = jnp.asarray(
+        band_tabs["sky_row"].reshape(n_tiles, n_bands, -1).all(axis=2)
+        .reshape(-1).astype(np.int32))
+
+    if n_bands > 1:
+        # candidate visible in band iff its horizontal-distance interval
+        # overlaps the band's static window; per-band prefix bound packed
+        # 4 bits per band into one i32 per (env, tile)
+        sel_dist = jnp.take_along_axis(
+            jnp.broadcast_to(dist[:, :, None, :], vis.shape), top_idx, axis=-1)
+        blo = jnp.asarray(row_lo.reshape(4, n_sectors, n_bands))
+        bhi = jnp.asarray(row_hi.reshape(4, n_sectors, n_bands))
+        band_vis = (sel_valid[..., None]
+                    & (sel_dist[..., None] - r_box < bhi[None, :, :, None, :])
+                    & (sel_dist[..., None] + r_box
+                       > blo[None, :, :, None, :]))  # (E, 4, sec, K, B)
+        prefix = (jnp.arange(1, n_boxes + 1, dtype=jnp.int32)
+                  [None, None, None, :, None] * band_vis)
+        kmax_band = prefix.max(axis=3).astype(jnp.int32)  # (E, 4, sec, B)
+        shifts = (jnp.arange(n_bands, dtype=jnp.int32) * 4)
+        kmax = (kmax_band << shifts[None, None, None, :]).sum(
+            axis=-1).reshape(E, n_tiles).astype(jnp.int32)
+    else:
+        kmax = sel_valid.sum(axis=-1).reshape(E, n_tiles).astype(jnp.int32)
+
+    kernel = _make_kernel(sim_cfg, n_boxes, n_bands)
+    plane_spec = pl.BlockSpec((band_rows, LANES), lambda t, e: (t, 0),
                               memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, tile_rows, LANES), lambda t, e: (e, t, 0),
+    out_spec = pl.BlockSpec((1, band_rows, LANES), lambda t, e: (e, t, 0),
                             memory_space=pltpu.VMEM)
 
     rgbs, depth = pl.pallas_call(
         kernel,
-        grid=(n_tiles, E),
+        grid=(n_tiles * n_bands, E),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # env scalars, full array
             pl.BlockSpec(memory_space=pltpu.SMEM),  # packed boxes, full array
             pl.BlockSpec(memory_space=pltpu.SMEM),  # vehicle palette
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # per-tile candidate count
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # per-tile/band counts
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # static all-sky band flag
             *([plane_spec] * 8),
         ],
         out_specs=(out_spec,) * 2,
         out_shape=(jax.ShapeDtypeStruct((E, rows, LANES), jnp.int32),
                    jax.ShapeDtypeStruct((E, rows, LANES), jnp.float32)),
         interpret=interpret,
-    )(env_scalars, boxes, palette.reshape(-1), kmax, *planes)
+    )(env_scalars, boxes, palette.reshape(-1), kmax, skyband, *planes)
 
     def unflatten(a):
         # (E, rows, LANES) laid out (cam, sector, row, col-in-sector)
