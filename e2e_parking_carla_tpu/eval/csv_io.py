@@ -66,6 +66,46 @@ def write_epoch_csv(out_dir: str, epoch: int, final_states,
     return path
 
 
+STATUS_NAMES = {
+    Status.RUNNING: "running", Status.TARGET_SUCCESS: "target_success",
+    Status.TARGET_FAIL: "target_fail",
+    Status.NO_TARGET_SUCCESS: "no_target_success",
+    Status.NO_TARGET_FAIL: "no_target_fail", Status.COLLISION: "collision",
+    Status.OUTBOUND: "outbound", Status.TIMEOUT: "timeout",
+}
+
+
+def write_attempt_csv(out_dir: str, epoch: int, final_states,
+                      eval_cfg: EvalConfig) -> str:
+    """Per-attempt breakdown (beyond the reference's per-slot CSVs): one row
+    per (slot, start pose) with the terminal status and final errors — the
+    raw material for failure analysis (which poses time out, where the
+    collisions concentrate)."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"{epoch + 1}_attempts.csv")
+    shape = (eval_cfg.task_nums, eval_cfg.parking_nums)
+    status = np.asarray(final_states.status).reshape(shape)
+    pos = np.asarray(final_states.final_pos_err).reshape(shape)
+    ori = np.asarray(final_states.final_orient_err).reshape(shape)
+    tim = np.asarray(final_states.final_time).reshape(shape)
+    from e2e_parking_carla_tpu.sim import scene as scene_lib
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=[
+            "slot_id", "pose_idx", "status", "pos_err_m", "orient_err_deg",
+            "time_s"])
+        w.writeheader()
+        for s in range(shape[0]):
+            for p in range(shape[1]):
+                w.writerow({
+                    "slot_id": scene_lib.EVAL_SLOT_IDS[s], "pose_idx": p,
+                    "status": STATUS_NAMES.get(int(status[s, p]),
+                                               str(int(status[s, p]))),
+                    "pos_err_m": round(float(pos[s, p]), 3),
+                    "orient_err_deg": round(float(ori[s, p]), 2),
+                    "time_s": round(float(tim[s, p]), 1)})
+    return path
+
+
 def write_mean_std_csv(out_dir: str, per_epoch_metrics: List[dict]) -> tuple:
     """Across-epoch mean and sigma/sqrt(6) files (tool/metric.py:25-47)."""
     os.makedirs(out_dir, exist_ok=True)

@@ -247,6 +247,7 @@ class ClosedLoopEvaluator:
             per_epoch.append(m)
             if out_dir is not None:
                 csv_io.write_epoch_csv(out_dir, epoch, final, eval_cfg, ait)
+                csv_io.write_attempt_csv(out_dir, epoch, final, eval_cfg)
 
         stacked = jax.tree.map(lambda *a: jnp.concatenate(a), *all_finals)
         overall = jax.tree.map(float, eval_metrics(stacked, eval_cfg))
