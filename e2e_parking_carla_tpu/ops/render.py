@@ -247,17 +247,20 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, n_bands: int = 1):
             line = _line_intensity(pgx, pgy)
             in_t = (jnp.abs(pgx - tgx) <= sl) & (jnp.abs(pgy - tgy) <= sw)
             gray = 0.32 + 0.55 * line
+            # the target mask is carried as f32 (1.0/0.0): Mosaic cannot
+            # legalize an scf.if whose results include an i1 vector
             return (jnp.where(in_t, gray * 0.4 + 0.55, gray),
                     jnp.where(in_t, gray * 0.4, gray),
                     jnp.where(in_t, gray * 0.4, gray),
-                    in_t)
+                    in_t.astype(jnp.float32))
 
         def no_ground(_):
             z = jnp.zeros(shape, jnp.float32)
-            return z, z, z, jnp.zeros(shape, jnp.bool_)
+            return z, z, z, z
 
-        gr, gg, gb, in_target = jax.lax.cond(
+        gr, gg, gb, in_target_f = jax.lax.cond(
             skyband_ref[tb] == 0, run_ground, no_ground, None)
+        in_target = in_target_f > 0.5
 
         # ---- sky (elevation factor is a static table) ----
         elev = elev_ref[:]
