@@ -303,7 +303,7 @@ def _wrap(a):
 def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
                           weather=None, n_boxes: int = 3,
                           interpret: bool = False, n_sectors: int = SECTORS,
-                          bands: bool = True):
+                          bands: int = 2):
     """Batched fused render. ego_* are (E,); scene is a batched SceneState.
 
     n_boxes: candidate boxes kept per (camera, sector) tile — the culling
@@ -413,10 +413,16 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
     # packing allows it (n_boxes <= 15) and the sub-tile keeps Mosaic's
     # 8-sublane alignment. Static per band: the z-slab visibility window
     # [lo, hi] in horizontal metres and the all-sky flag.
+    # `bands` is the MAX split (0/1 disables). More bands = finer static
+    # culling but an n_bands-times larger grid of n_bands-times smaller
+    # blocks; past ~2 the per-grid-cell overhead beats the skipped work
+    # (measured on v5e: bands=8 18.1k env steps/s vs bands=2 at the
+    # tools/bench_render_ab.py sweep optimum).
     n_bands = 1
-    if bands and n_boxes <= 15:
+    if bands and bands > 1 and n_boxes <= 15:
         for cand in (8, 4, 2):
-            if tile_rows % cand == 0 and (tile_rows // cand) % 8 == 0:
+            if cand <= bands and tile_rows % cand == 0 \
+                    and (tile_rows // cand) % 8 == 0:
                 n_bands = cand
                 break
     band_rows = tile_rows // n_bands

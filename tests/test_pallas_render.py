@@ -123,9 +123,9 @@ def test_elevation_bands_are_exact():
     st = jax.vmap(reset_env)(keys, targets, xs, ys, yaws)
 
     banded = render_cameras_pallas(st.ego.x, st.ego.y, st.ego.yaw, st.scene,
-                                   sim, n_boxes=3, interpret=True, bands=True)
+                                   sim, n_boxes=3, interpret=True, bands=8)
     flat = render_cameras_pallas(st.ego.x, st.ego.y, st.ego.yaw, st.scene,
-                                 sim, n_boxes=3, interpret=True, bands=False)
+                                 sim, n_boxes=3, interpret=True, bands=0)
     np.testing.assert_array_equal(np.asarray(banded["sem"]),
                                   np.asarray(flat["sem"]))
     np.testing.assert_array_equal(np.asarray(banded["depth"]),
