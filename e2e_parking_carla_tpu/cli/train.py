@@ -53,6 +53,10 @@ def parse_args(argv=None):
                    help="override TrainConfig.dagger_expert_mix")
     p.add_argument("--dagger_start", type=int, default=None,
                    help="override TrainConfig.dagger_start_step")
+    p.add_argument("--dagger_timeout_keep", type=int, default=None,
+                   help="override TrainConfig.dagger_timeout_keep_every "
+                        "(keep every Nth frame of DAgger timeout episodes; "
+                        "0 = drop them entirely)")
     p.add_argument("--ema_decay", type=float, default=None,
                    help="override TrainConfig.ema_decay (0 disables EMA)")
     p.add_argument("--dart_steer", type=float, default=None,
@@ -90,6 +94,10 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train,
                                            dagger_start_step=args.dagger_start))
+    if args.dagger_timeout_keep is not None:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, dagger_timeout_keep_every=args.dagger_timeout_keep))
     if args.ema_decay is not None:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, ema_decay=args.ema_decay))

@@ -298,6 +298,12 @@ class TrainConfig:
     # state-machine trajectories; also the longest episodes, which otherwise
     # dominate uniform frame sampling)
     dagger_drop_timeout: bool = True
+    # with dagger_drop_timeout, keep every Nth frame of a timeout episode
+    # instead of none (0 = drop all). Timeouts are the round-3 protocol's
+    # largest failure class; a stride keeps the expert's recovery labels at
+    # policy-stuck states without letting ~290-frame episodes flood the
+    # uniform sampler (data/dagger.py:timeout_keep_every)
+    dagger_timeout_keep_every: int = 0
 
     # DART-style noise injection during EXPERT data collection (Laskey et
     # al. 2017): the executed control is the expert's action plus

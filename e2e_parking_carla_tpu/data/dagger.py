@@ -48,6 +48,7 @@ def collect_dagger_episodes(
     max_frames: int = 900,
     drop_hold_labels: bool = True,
     drop_timeout_episodes: bool = True,
+    timeout_keep_every: int = 0,
 ) -> EpisodeBuffer:
     """Roll out `n_envs` episodes under the policy/expert execution mixture
     and label every visited state with the expert's control.
@@ -70,6 +71,14 @@ def collect_dagger_episodes(
         episodes — they otherwise flood the uniform frame sampler with
         conservative labels: a timeout contributes ~290 frames where a
         collision episode contributes ~30.
+    timeout_keep_every: with drop_timeout_episodes, keep every Nth frame of
+        a timeout/outbound episode instead of none (0 = drop all, the
+        round-2 behavior). Dropping whole episodes removes supervision at
+        exactly the states where the policy gets STUCK — the round-3 b0
+        protocol's largest failure class (76/384 timeouts vs 32 collisions).
+        A stride of 3-4 caps a timeout episode's buffer share at roughly a
+        collision episode's while keeping the expert's recovery labels at
+        visited stuck states.
 
     Fully jittable: the whole fleet advances in one lax.scan at the 10 Hz
     policy rate (decisions held for `policy_every` sim frames, matching the
@@ -155,7 +164,10 @@ def collect_dagger_episodes(
             traj["status"], end[:, None].clip(max=T - 1), axis=1)[:, 0]
         bad_end = (~ended) | (end_status == Status.TIMEOUT) \
             | (end_status == Status.OUTBOUND)
-        valid &= ~bad_end[:, None]
+        if timeout_keep_every > 0:
+            valid &= (~bad_end[:, None]) | (t_idx % timeout_keep_every == 0)
+        else:
+            valid &= ~bad_end[:, None]
 
     return EpisodeBuffer(
         ego_x=traj["x"], ego_y=traj["y"], ego_yaw=traj["yaw"],

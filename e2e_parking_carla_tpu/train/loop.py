@@ -87,6 +87,7 @@ def train_loop(
             expert_mix=cfg.train.dagger_expert_mix,
             drop_hold_labels=getattr(cfg.train, "dagger_drop_hold", True),
             drop_timeout_episodes=getattr(cfg.train, "dagger_drop_timeout", True),
+            timeout_keep_every=getattr(cfg.train, "dagger_timeout_keep_every", 0),
         )) if n_dagger else None
     batch_fn = jax.jit(
         lambda buf, key: make_batch(buf, key, cfg.train.batch_size, cfg.model, cfg.sim))

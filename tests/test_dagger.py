@@ -72,3 +72,25 @@ def test_dagger_pure_expert_mixture_ignores_policy():
     np.testing.assert_array_equal(np.asarray(a.ego_x), np.asarray(b.ego_x))
     np.testing.assert_array_equal(np.asarray(a.steer), np.asarray(b.steer))
     np.testing.assert_array_equal(np.asarray(a.reverse), np.asarray(b.reverse))
+
+
+def test_dagger_timeout_stride_supersets_drop():
+    """timeout_keep_every must only ADD frames of timeout/outbound episodes
+    back (on the stride), relative to dropping those episodes entirely, and
+    every added frame must lie on the stride."""
+    model, variables = _init_model()
+    key = jax.random.PRNGKey(5)
+
+    def collect(keep):
+        return jax.jit(lambda v, k: collect_dagger_episodes(
+            _predict_fn(model), v, k, 4, TINY_MODEL, TINY_SIM, EVAL,
+            expert_mix=0.0, max_frames=300,  # pure policy: plenty of timeouts
+            timeout_keep_every=keep))(variables, key)
+
+    dropped = np.asarray(collect(0).valid)
+    strided = np.asarray(collect(4).valid)
+    # same trajectory (same key, labels unaffected); drop-valid is a subset
+    assert (dropped & ~strided).sum() == 0
+    added = strided & ~dropped
+    t = np.arange(dropped.shape[1])[None, :]
+    assert (added & (t % 4 != 0)).sum() == 0
