@@ -53,6 +53,9 @@ def parse_args(argv=None):
                    help="override TrainConfig.dagger_expert_mix")
     p.add_argument("--dagger_start", type=int, default=None,
                    help="override TrainConfig.dagger_start_step")
+    p.add_argument("--near_frac", type=float, default=None,
+                   help="override TrainConfig.start_near_frac (fraction of "
+                        "collection episodes starting in the near band)")
     p.add_argument("--dagger_timeout_keep", type=int, default=None,
                    help="override TrainConfig.dagger_timeout_keep_every "
                         "(keep every Nth frame of DAgger timeout episodes; "
@@ -94,6 +97,10 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train,
                                            dagger_start_step=args.dagger_start))
+    if args.near_frac is not None:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           start_near_frac=args.near_frac))
     if args.dagger_timeout_keep is not None:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(

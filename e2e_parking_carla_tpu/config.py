@@ -305,6 +305,12 @@ class TrainConfig:
     # uniform sampler (data/dagger.py:timeout_keep_every)
     dagger_timeout_keep_every: int = 0
 
+    # probability that a collection episode starts in the NEAR band
+    # (|y - goal_y| <= 3 m) instead of the full +-8 m sweep
+    # (sim/scene.py:datagen_start_pose docs). 0 = reference-faithful
+    # uniform sweep.
+    start_near_frac: float = 0.0
+
     # DART-style noise injection during EXPERT data collection (Laskey et
     # al. 2017): the executed control is the expert's action plus
     # OU-correlated noise, while the recorded label stays the expert's CLEAN

@@ -49,6 +49,7 @@ def collect_dagger_episodes(
     drop_hold_labels: bool = True,
     drop_timeout_episodes: bool = True,
     timeout_keep_every: int = 0,
+    start_near_frac: float = 0.0,
 ) -> EpisodeBuffer:
     """Roll out `n_envs` episodes under the policy/expert execution mixture
     and label every visited state with the expert's control.
@@ -88,7 +89,9 @@ def collect_dagger_episodes(
     goal_choices = jnp.asarray(scene_lib.DATAGEN_GOAL_INDICES)
     targets = goal_choices[jax.random.randint(k_goal, (n_envs,), 0, len(goal_choices))]
     goal_y = jnp.asarray(scene_lib.SLOT_XY)[targets, 1]
-    xs, ys, yaws = jax.vmap(scene_lib.datagen_start_pose)(
+    xs, ys, yaws = jax.vmap(
+        lambda kk, gy: scene_lib.datagen_start_pose(
+            kk, gy, near_frac=start_near_frac))(
         jax.random.split(k_pose, n_envs), goal_y)
     env = jax.vmap(reset_env)(
         jax.random.split(k_scene, n_envs), targets, xs, ys, yaws)

@@ -71,7 +71,8 @@ def collect_episodes(key: jax.Array, n_envs: int, model_cfg: ModelConfig,
                      dart_steer_sigma: float = 0.0,
                      dart_accel_sigma: float = 0.0,
                      dart_tau: float = 0.5,
-                     dart_trim_scale: float = 0.3) -> EpisodeBuffer:
+                     dart_trim_scale: float = 0.3,
+                     start_near_frac: float = 0.0) -> EpisodeBuffer:
     """Run `n_envs` expert episodes (random goal slot + start pose + scene,
     mirroring the data-gen protocol) and snapshot every `policy_every`-th
     frame. Fully jittable; the whole fleet is one lax.scan.
@@ -88,7 +89,9 @@ def collect_episodes(key: jax.Array, n_envs: int, model_cfg: ModelConfig,
     goal_choices = jnp.asarray(scene_lib.DATAGEN_GOAL_INDICES)
     targets = goal_choices[jax.random.randint(k_goal, (n_envs,), 0, len(goal_choices))]
     goal_y = jnp.asarray(scene_lib.SLOT_XY)[targets, 1]
-    xs, ys, yaws = jax.vmap(scene_lib.datagen_start_pose)(
+    xs, ys, yaws = jax.vmap(
+        lambda k, gy: scene_lib.datagen_start_pose(
+            k, gy, near_frac=start_near_frac))(
         jax.random.split(k_pose, n_envs), goal_y)
     states = jax.vmap(reset_env)(
         jax.random.split(k_scene, n_envs), targets, xs, ys, yaws)

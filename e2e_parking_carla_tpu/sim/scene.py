@@ -74,7 +74,7 @@ def sample_scene(key: jax.Array, target_idx) -> tuple:
 
 
 def datagen_start_pose(key: jax.Array, goal_y, lat_noise: float = 0.6,
-                       yaw_noise_deg: float = 4.0):
+                       yaw_noise_deg: float = 4.0, near_frac: float = 0.0):
     """Random start pose for data generation (parking_position.py:148-151):
     y ~ U[goal_y-8, goal_y+8], heading +90 if y < goal_y else -90.
 
@@ -84,11 +84,21 @@ def datagen_start_pose(key: jax.Array, goal_y, lat_noise: float = 0.6,
     and the demonstrations then cover the recovery behaviors the policy
     needs in closed loop).
 
+    near_frac: probability of drawing y from the NEAR band U[goal_y-3,
+    goal_y+3] instead of the full sweep. The tightest maneuvers start with
+    |y-goal| ~ 1.6 m (no run-up to align): that band is 1/3 of the eval
+    protocol's poses but only 20% of the uniform sweep mass (near_frac=0.5
+    raises it to ~37%). 0 keeps the reference-faithful uniform sweep.
+
     Returns (x, y, yaw_rad).
     """
-    k_y, k_x, k_yaw = jax.random.split(key, 3)
+    k_y, k_x, k_yaw, k_near, k_yn = jax.random.split(key, 5)
     y = jax.random.uniform(k_y, (), minval=goal_y - EGO_SWEEP_HALF_RANGE,
                            maxval=goal_y + EGO_SWEEP_HALF_RANGE)
+    if near_frac > 0.0:
+        y_near = jax.random.uniform(k_yn, (), minval=goal_y - 3.0,
+                                    maxval=goal_y + 3.0)
+        y = jnp.where(jax.random.bernoulli(k_near, near_frac), y_near, y)
     yaw = jnp.where(y < goal_y, jnp.pi / 2, -jnp.pi / 2)
     x = EGO_START_X + jax.random.uniform(k_x, (), minval=-lat_noise,
                                          maxval=lat_noise)

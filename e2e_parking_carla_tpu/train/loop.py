@@ -75,7 +75,8 @@ def train_loop(
             dart_steer_sigma=getattr(cfg.train, "dart_steer_sigma", 0.0),
             dart_accel_sigma=getattr(cfg.train, "dart_accel_sigma", 0.0),
             dart_tau=getattr(cfg.train, "dart_tau", 0.5),
-            dart_trim_scale=getattr(cfg.train, "dart_trim_scale", 0.3)))
+            dart_trim_scale=getattr(cfg.train, "dart_trim_scale", 0.3),
+            start_near_frac=getattr(cfg.train, "start_near_frac", 0.0)))
 
     def _predict(variables, images, ego_motion, target_point):
         return model.apply(variables, images, ego_motion, target_point,
@@ -88,6 +89,7 @@ def train_loop(
             drop_hold_labels=getattr(cfg.train, "dagger_drop_hold", True),
             drop_timeout_episodes=getattr(cfg.train, "dagger_drop_timeout", True),
             timeout_keep_every=getattr(cfg.train, "dagger_timeout_keep_every", 0),
+            start_near_frac=getattr(cfg.train, "start_near_frac", 0.0),
         )) if n_dagger else None
     batch_fn = jax.jit(
         lambda buf, key: make_batch(buf, key, cfg.train.batch_size, cfg.model, cfg.sim))
