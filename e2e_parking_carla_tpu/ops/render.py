@@ -146,16 +146,16 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, n_bands: int = 1):
         # per-env SMEM operands are blocked by the env grid axis (window =
         # one env's row): a full (E, .) SMEM window overflows the 1 MB SMEM
         # at fleet sizes (E=1024 boxes alone is 2 MB)
-        ex = env_ref[0, 0]
-        ey = env_ref[0, 1]
-        c = env_ref[0, 2]
-        s = env_ref[0, 3]
-        tgx = env_ref[0, 4]
-        tgy = env_ref[0, 5]
-        bright = env_ref[0, 6]
-        sky_r = env_ref[0, 7]
-        sky_g = env_ref[0, 8]
-        sky_b = env_ref[0, 9]
+        ex = env_ref[0, 0, 0]
+        ey = env_ref[0, 0, 1]
+        c = env_ref[0, 0, 2]
+        s = env_ref[0, 0, 3]
+        tgx = env_ref[0, 0, 4]
+        tgy = env_ref[0, 0, 5]
+        bright = env_ref[0, 0, 6]
+        sky_r = env_ref[0, 0, 7]
+        sky_g = env_ref[0, 0, 8]
+        sky_b = env_ref[0, 0, 9]
 
         dxv = dx_ref[:]
         dyv = dy_ref[:]
@@ -174,11 +174,11 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, n_bands: int = 1):
         def body(k, carry):
             t_best, vr, vg, vb = carry
             base = t * (n_boxes * BOX_FIELDS) + k * BOX_FIELDS
-            cx = boxes_ref[0, base + 0]
-            cy = boxes_ref[0, base + 1]
-            cb = boxes_ref[0, base + 2]
-            sb = boxes_ref[0, base + 3]
-            code = boxes_ref[0, base + 4]
+            cx = boxes_ref[0, 0, base + 0]
+            cy = boxes_ref[0, 0, base + 1]
+            cb = boxes_ref[0, 0, base + 2]
+            sb = boxes_ref[0, 0, base + 3]
+            code = boxes_ref[0, 0, base + 4]
             bvalid = code  # >= 0 iff valid
             ci = jnp.maximum(code, 0.0).astype(jnp.int32)
             col_r = pal_ref[ci * 3 + 0]
@@ -236,9 +236,9 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, n_bands: int = 1):
         # outside every candidate's z-slab window) bypass the box loop
         # entirely — bit-exact, since invalid candidates are no-ops
         if n_bands > 1:
-            k_here = (kmax_ref[0, t] >> (4 * (tb % n_bands))) & 15
+            k_here = (kmax_ref[0, 0, t] >> (4 * (tb % n_bands))) & 15
         else:
-            k_here = kmax_ref[0, t]
+            k_here = kmax_ref[0, 0, t]
         t_box, vr, vg, vb = jax.lax.cond(
             k_here > 0, run_boxes, lambda _: init, None)
 
@@ -467,14 +467,17 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
         in_specs=[
             # per-env scalar operands blocked by the env grid axis: one
             # env's row per window (a full (E, .) SMEM window is 2 MB of
-            # boxes alone at E=1024, over the 1 MB SMEM)
-            pl.BlockSpec((1, ENV_FIELDS), lambda t, e: (e, 0),
+            # boxes alone at E=1024, over the 1 MB SMEM). The arrays carry
+            # a unit middle axis because Mosaic requires the last two block
+            # dims to equal the array dims (or be 8/128-aligned) even in
+            # SMEM — (1, 1, N) blocks of an (E, 1, N) array satisfy that.
+            pl.BlockSpec((1, 1, ENV_FIELDS), lambda t, e: (e, 0, 0),
                          memory_space=pltpu.SMEM),  # env scalars
-            pl.BlockSpec((1, n_tiles * n_boxes * BOX_FIELDS),
-                         lambda t, e: (e, 0),
+            pl.BlockSpec((1, 1, n_tiles * n_boxes * BOX_FIELDS),
+                         lambda t, e: (e, 0, 0),
                          memory_space=pltpu.SMEM),  # packed boxes
             pl.BlockSpec(memory_space=pltpu.SMEM),  # vehicle palette
-            pl.BlockSpec((1, n_tiles), lambda t, e: (e, 0),
+            pl.BlockSpec((1, 1, n_tiles), lambda t, e: (e, 0, 0),
                          memory_space=pltpu.SMEM),  # per-tile/band counts
             pl.BlockSpec(memory_space=pltpu.SMEM),  # static all-sky band flag
             *([plane_spec] * 8),
@@ -483,7 +486,8 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
         out_shape=(jax.ShapeDtypeStruct((E, rows, LANES), jnp.int32),
                    jax.ShapeDtypeStruct((E, rows, LANES), jnp.float32)),
         interpret=interpret,
-    )(env_scalars, boxes, palette.reshape(-1), kmax, skyband, *planes)
+    )(env_scalars[:, None, :], boxes.reshape(E, 1, -1),
+      palette.reshape(-1), kmax.reshape(E, 1, -1), skyband, *planes)
 
     def unflatten(a):
         # (E, rows, LANES) laid out (cam, sector, row, col-in-sector)
