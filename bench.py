@@ -46,6 +46,7 @@ def build_bench(n_envs: int, render: bool = True, use_pallas: bool = True):
     est = ExpertState.init((n_envs,))
 
     render_every = int(os.environ.get("BENCH_RENDER_EVERY", "1"))
+    bands = int(os.environ.get("BENCH_BANDS", "-1"))  # -1 = renderer default
 
     def body(carry, i):
         s, e, acc = carry
@@ -57,7 +58,8 @@ def build_bench(n_envs: int, render: bool = True, use_pallas: bool = True):
             # training and eval actually consume, parking_agent.py:228)
             def do_render(st):
                 cams = render_cameras_pallas(
-                    st.ego.x, st.ego.y, st.ego.yaw, st.scene, sim_cfg)
+                    st.ego.x, st.ego.y, st.ego.yaw, st.scene, sim_cfg,
+                    **({} if bands < 0 else {"bands": bands}))
                 return jnp.sum(cams["rgb"]) + jnp.sum(cams["depth"])
 
             sink = jax.lax.cond(i % render_every == 0, do_render,
@@ -65,7 +67,8 @@ def build_bench(n_envs: int, render: bool = True, use_pallas: bool = True):
         elif render:
             if use_pallas:
                 cams = render_cameras_pallas(
-                    s.ego.x, s.ego.y, s.ego.yaw, s.scene, sim_cfg)
+                    s.ego.x, s.ego.y, s.ego.yaw, s.scene, sim_cfg,
+                    **({} if bands < 0 else {"bands": bands}))
             else:
                 cams = jax.vmap(
                     lambda x, y, yaw, sc: render_cameras(x, y, yaw, sc, sim_cfg)

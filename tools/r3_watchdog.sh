@@ -4,7 +4,10 @@
 # dispatch forever), kill the saved PID and relaunch with --resume.
 # Usage: tools/r3_watchdog.sh <log> <pidfile> <resume_dir> <train args...>
 LOG="$1"; PIDFILE="$2"; RESUME="$3"; shift 3
-STALL=480
+# Must exceed the worst-case silent window: a --resume relaunch logs
+# nothing while it restores + compiles (~10 min measured when the compile
+# cache is cold). 480s here killed healthy relaunches mid-compile.
+STALL=900
 
 while true; do
   sleep 60
@@ -28,5 +31,5 @@ while true; do
     e2e_parking_carla_tpu.cli.train --resume "$RESUME" "$@" >> "$LOG" 2>&1 &
   echo $! > "$PIDFILE"
   echo "[wd] $(date +%T) relaunched pid $(cat $PIDFILE)" >> "$LOG.wd"
-  sleep 540   # give the restart time to compile before re-checking
+  sleep 900   # give the restart time to restore + compile before re-checking
 done
