@@ -305,6 +305,19 @@ class TrainConfig:
     # uniform sampler (data/dagger.py:timeout_keep_every)
     dagger_timeout_keep_every: int = 0
 
+    # late-schedule levers (both keyed to the end of the cosine, where
+    # closed-loop competence emerges — measured rounds 1-3):
+    # multiply the DAgger slice by this once past dagger_late_frac of the
+    # schedule (a larger correction slice targets CR/TR without the
+    # early-schedule timidity risk); 1.0 disables
+    dagger_late_boost: float = 1.0
+    dagger_late_frac: float = 0.85
+    # multiply probe seeds by this past probe_late_frac of the schedule
+    # (late probes carry the selection decision; more attempts cut the
+    # binomial share of the adjacent-probe spread)
+    probe_late_seed_boost: int = 2
+    probe_late_frac: float = 0.8
+
     # probability that a collection episode starts in the NEAR band
     # (|y - goal_y| <= 3 m) instead of the full +-8 m sweep
     # (sim/scene.py:datagen_start_pose docs). 0 = reference-faithful

@@ -69,6 +69,13 @@ def train_loop(
     steps_per_epoch = max(total_steps // max(cfg.train.epochs, 1), 1)
 
     n_dagger = int(round(n_envs * cfg.train.dagger_envs_frac))
+    # late-schedule DAgger boost: once the policy is competent (end of the
+    # cosine), a larger correction slice targets CR/TR without the early-
+    # schedule timidity risk (round-2 measurement). 1.0 = no boost.
+    late_boost = float(getattr(cfg.train, "dagger_late_boost", 1.0))
+    late_start = getattr(cfg.train, "dagger_late_frac", 0.85) * total_steps
+    n_dagger_late = min(int(round(n_dagger * late_boost)), n_envs) \
+        if late_boost > 1.0 and n_dagger else n_dagger
     collect = jax.jit(
         lambda key: collect_episodes(
             key, n_envs, cfg.model, cfg.sim, cfg.eval,
@@ -82,15 +89,23 @@ def train_loop(
         return model.apply(variables, images, ego_motion, target_point,
                            method=model.predict)
 
-    collect_dagger = jax.jit(
-        lambda variables, key: collect_dagger_episodes(
-            _predict, variables, key, n_dagger, cfg.model, cfg.sim, cfg.eval,
-            expert_mix=cfg.train.dagger_expert_mix,
-            drop_hold_labels=getattr(cfg.train, "dagger_drop_hold", True),
-            drop_timeout_episodes=getattr(cfg.train, "dagger_drop_timeout", True),
-            timeout_keep_every=getattr(cfg.train, "dagger_timeout_keep_every", 0),
-            start_near_frac=getattr(cfg.train, "start_near_frac", 0.0),
-        )) if n_dagger else None
+    def _make_collect_dagger(n):
+        return jax.jit(
+            lambda variables, key: collect_dagger_episodes(
+                _predict, variables, key, n, cfg.model, cfg.sim, cfg.eval,
+                expert_mix=cfg.train.dagger_expert_mix,
+                drop_hold_labels=getattr(cfg.train, "dagger_drop_hold", True),
+                drop_timeout_episodes=getattr(cfg.train, "dagger_drop_timeout",
+                                              True),
+                timeout_keep_every=getattr(cfg.train,
+                                           "dagger_timeout_keep_every", 0),
+                start_near_frac=getattr(cfg.train, "start_near_frac", 0.0),
+            ))
+
+    collect_dagger = _make_collect_dagger(n_dagger) if n_dagger else None
+    collect_dagger_late = (
+        _make_collect_dagger(n_dagger_late)
+        if n_dagger and n_dagger_late != n_dagger else collect_dagger)
     batch_fn = jax.jit(
         lambda buf, key: make_batch(buf, key, cfg.train.batch_size, cfg.model, cfg.sim))
 
@@ -130,7 +145,8 @@ def train_loop(
         buf = collect(key)
         if collect_dagger is not None and step >= cfg.train.dagger_start_step:
             variables = {"params": state.params, "batch_stats": state.batch_stats}
-            dbuf = collect_dagger(variables, jax.random.fold_in(key, 1))
+            fn = collect_dagger_late if step >= late_start else collect_dagger
+            dbuf = fn(variables, jax.random.fold_in(key, 1))
             buf = concat_buffers(buf, dbuf)
         return buf
 
@@ -190,7 +206,13 @@ def train_loop(
             variables = {"params": state.ema_params,
                          "batch_stats": state.batch_stats}
             t_p = time.time()
-            m = probe(variables, step, export_path=probe_export)
+            # late-schedule probes carry the selection decision: boost the
+            # seed count once competence emerges (end of the cosine) to cut
+            # the binomial share of the adjacent-probe spread
+            late = step >= getattr(cfg.train, "probe_late_frac", 0.8) * total_steps
+            boost = getattr(cfg.train, "probe_late_seed_boost", 2)
+            m = probe(variables, step, export_path=probe_export,
+                      seeds=probe.seeds * boost if late else None)
             last_log += time.time() - t_p  # don't count probe time as train
             log(f"step {step}: probe TSR={m['TSR']:.1f} CR={m['CR']:.1f} "
                 f"TR={m['TR']:.1f} score={m['probe_score']:.1f} "

@@ -66,11 +66,11 @@ class ClosedLoopProbe:
         # batch_stats), kept sorted descending by score
         self._top: list = []
 
-    def _score_current(self):
-        """Average protocol metrics over `self.seeds` independent scenes
-        with the evaluator's currently-set variables."""
+    def _score_current(self, seeds: Optional[int] = None):
+        """Average protocol metrics over `seeds` (default `self.seeds`)
+        independent scenes with the evaluator's currently-set variables."""
         ms = []
-        for s in range(self.seeds):
+        for s in range(seeds or self.seeds):
             final = self.ev.run_epoch(seed=s)
             ms.append(jax.tree.map(float, eval_metrics(final, self.cfg.eval)))
         m = {k: float(np.mean([d[k] for d in ms])) for k in ms[0]}
@@ -78,13 +78,17 @@ class ClosedLoopProbe:
                             - 0.5 * m["TR"])
         return m
 
-    def __call__(self, variables, step: int, export_path: Optional[str] = None):
+    def __call__(self, variables, step: int, export_path: Optional[str] = None,
+                 seeds: Optional[int] = None):
         """Run the probe; returns its metric dict (plus 'probe_score').
         If export_path is given and the score improves, the weights are
         written there as a portable artifact; the top-K soup average is
-        refreshed at `<export_path stem>_soup<ext>` on every new entry."""
+        refreshed at `<export_path stem>_soup<ext>` on every new entry.
+        `seeds` overrides the per-probe seed count — the train loop doubles
+        it late in the schedule, where competence emerges and selection
+        actually happens (adjacent-probe spread is the selection noise)."""
         self.ev.set_variables(variables)
-        m = self._score_current()
+        m = self._score_current(seeds)
         score = m["probe_score"]
 
         # snapshot to host ONLY when the score makes the top-K: device_get

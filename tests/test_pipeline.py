@@ -247,6 +247,12 @@ def test_closed_loop_probe_and_soup(model_state, tmp_path):
         np.asarray(jax.tree.leaves(restored["params"])[0]),
         np.asarray(leaf_s), rtol=1e-6)
 
+    # seed-count override (the late-schedule boost passes seeds=2*base):
+    # the evaluator is seed-deterministic, so re-proving v1 over the same
+    # seed range must reproduce its metrics exactly
+    m1b = probe(v1, step=300, seeds=2)
+    assert m1b["TSR"] == m1["TSR"] and m1b["CR"] == m1["CR"]
+
 
 def test_live_eval_view(model_state, tmp_path):
     """Step-by-step live eval viewer (eval/live.py, the reference's
