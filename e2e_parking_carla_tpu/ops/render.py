@@ -124,7 +124,8 @@ def _line_intensity(px, py):
     return jnp.where(on_x | on_y, 1.0, 0.0)
 
 
-def _make_kernel(sim_cfg: SimConfig, n_boxes: int, n_bands: int = 1):
+def _make_kernel(sim_cfg: SimConfig, n_boxes: int, n_bands: int = 1,
+                 packed: bool = True):
     """n_bands > 1: each (camera, sector) tile is split into `n_bands`
     elevation bands (contiguous tile-row blocks); kmax_ref then holds a
     packed 4-bit per-band candidate count and skyband_ref a static all-sky
@@ -140,7 +141,7 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, n_bands: int = 1):
     def kernel(env_ref, boxes_ref, pal_ref, kmax_ref, skyband_ref,
                dx_ref, dy_ref, ox_ref,
                oy_ref, tg_ref, elev_ref, zn_ref, zf_ref,
-               rgbs_ref, depth_ref):
+               *out_refs):
         tb = pl.program_id(0)
         t = tb // n_bands if n_bands > 1 else tb
         # per-env SMEM operands are blocked by the env grid axis (window =
@@ -281,17 +282,33 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, n_bands: int = 1):
         out_r = jnp.where(is_sky, sk_r, jnp.where(box_front, vr, gr))
         out_g = jnp.where(is_sky, sk_g, jnp.where(box_front, vg, gg))
         out_b = jnp.where(is_sky, sk_b, jnp.where(box_front, vb, gb))
-        # pack RGB (8-bit quantized, the reference's PNG precision) + sem
-        # into ONE int32 plane: 8 B/px of HBM writes (with depth) instead of
-        # the 20 B/px of five f32 planes — the render is bandwidth-heavy at
-        # fleet scale (round-2: 168 GB/s of output writes at 32k steps/s)
-        ri = jnp.round(jnp.clip(out_r * bright, 0.0, 1.0) * 255.0).astype(jnp.int32)
-        gi = jnp.round(jnp.clip(out_g * bright, 0.0, 1.0) * 255.0).astype(jnp.int32)
-        bi = jnp.round(jnp.clip(out_b * bright, 0.0, 1.0) * 255.0).astype(jnp.int32)
         si = jnp.where(
             is_sky, 0, jnp.where(box_front, 1, jnp.where(in_target, 2, 0)))
-        rgbs_ref[0] = ri | (gi << 8) | (bi << 16) | (si << 24)
-        depth_ref[0] = jnp.minimum(t_hit, SKY)
+        if packed:
+            # pack RGB (8-bit quantized, the reference's PNG precision) +
+            # sem into ONE int32 plane: 8 B/px of HBM writes (with depth)
+            # instead of the 20 B/px of five f32 planes — at the cost of
+            # ~12 VPU ops/px of quantization. The trade is workload-
+            # dependent (the kernel is VPU-bound after culling); the
+            # unpacked variant below exists for the hardware A/B
+            # (tools/bench_render_ab.py).
+            rgbs_ref, depth_ref = out_refs
+            ri = jnp.round(jnp.clip(out_r * bright, 0.0, 1.0)
+                           * 255.0).astype(jnp.int32)
+            gi = jnp.round(jnp.clip(out_g * bright, 0.0, 1.0)
+                           * 255.0).astype(jnp.int32)
+            bi = jnp.round(jnp.clip(out_b * bright, 0.0, 1.0)
+                           * 255.0).astype(jnp.int32)
+            rgbs_ref[0] = ri | (gi << 8) | (bi << 16) | (si << 24)
+            depth_ref[0] = jnp.minimum(t_hit, SKY)
+        else:
+            # round-2 layout: raw f32 color planes (no quantization ops)
+            r_ref, g_ref, b_ref, sem_ref, depth_ref = out_refs
+            r_ref[0] = jnp.clip(out_r * bright, 0.0, 1.0)
+            g_ref[0] = jnp.clip(out_g * bright, 0.0, 1.0)
+            b_ref[0] = jnp.clip(out_b * bright, 0.0, 1.0)
+            sem_ref[0] = si
+            depth_ref[0] = jnp.minimum(t_hit, SKY)
 
     return kernel
 
@@ -301,11 +318,11 @@ def _wrap(a):
 
 
 @functools.partial(jax.jit, static_argnames=("sim_cfg", "n_boxes", "interpret",
-                                              "n_sectors", "bands"))
+                                              "n_sectors", "bands", "packed"))
 def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
                           weather=None, n_boxes: int = 3,
                           interpret: bool = False, n_sectors: int = SECTORS,
-                          bands: int = 2):
+                          bands: int = 2, packed: bool = True):
     """Batched fused render. ego_* are (E,); scene is a batched SceneState.
 
     n_boxes: candidate boxes kept per (camera, sector) tile — the culling
@@ -455,13 +472,21 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
     else:
         kmax = sel_valid.sum(axis=-1).reshape(E, n_tiles).astype(jnp.int32)
 
-    kernel = _make_kernel(sim_cfg, n_boxes, n_bands)
+    kernel = _make_kernel(sim_cfg, n_boxes, n_bands, packed)
     plane_spec = pl.BlockSpec((band_rows, LANES), lambda t, e: (t, 0),
                               memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, band_rows, LANES), lambda t, e: (e, t, 0),
                             memory_space=pltpu.VMEM)
+    if packed:
+        out_shape = (jax.ShapeDtypeStruct((E, rows, LANES), jnp.int32),
+                     jax.ShapeDtypeStruct((E, rows, LANES), jnp.float32))
+    else:
+        out_shape = tuple(
+            jax.ShapeDtypeStruct((E, rows, LANES), dt)
+            for dt in (jnp.float32, jnp.float32, jnp.float32, jnp.int32,
+                       jnp.float32))
 
-    rgbs, depth = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(n_tiles * n_bands, E),
         in_specs=[
@@ -482,9 +507,8 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # static all-sky band flag
             *([plane_spec] * 8),
         ],
-        out_specs=(out_spec,) * 2,
-        out_shape=(jax.ShapeDtypeStruct((E, rows, LANES), jnp.int32),
-                   jax.ShapeDtypeStruct((E, rows, LANES), jnp.float32)),
+        out_specs=(out_spec,) * len(out_shape),
+        out_shape=out_shape,
         interpret=interpret,
     )(env_scalars[:, None, :], boxes.reshape(E, 1, -1),
       palette.reshape(-1), kmax.reshape(E, 1, -1), skyband, *planes)
@@ -494,13 +518,21 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
         a = a.reshape(E, 4, n_sectors, H, Ws)
         return a.transpose(0, 1, 3, 2, 4).reshape(E, 4, H, W)
 
-    packed = unflatten(rgbs)
-    rgb = jnp.stack(
-        [(packed & 0xFF).astype(jnp.float32) / 255.0,
-         ((packed >> 8) & 0xFF).astype(jnp.float32) / 255.0,
-         ((packed >> 16) & 0xFF).astype(jnp.float32) / 255.0], axis=-1)
+    if packed:
+        rgbs, depth = outs
+        word = unflatten(rgbs)
+        rgb = jnp.stack(
+            [(word & 0xFF).astype(jnp.float32) / 255.0,
+             ((word >> 8) & 0xFF).astype(jnp.float32) / 255.0,
+             ((word >> 16) & 0xFF).astype(jnp.float32) / 255.0], axis=-1)
+        return {
+            "rgb": rgb,
+            "depth": unflatten(depth),
+            "sem": (word >> 24).astype(jnp.int32),
+        }
+    r, g, b, sem, depth = outs
     return {
-        "rgb": rgb,
+        "rgb": jnp.stack([unflatten(r), unflatten(g), unflatten(b)], axis=-1),
         "depth": unflatten(depth),
-        "sem": (packed >> 24).astype(jnp.int32),
+        "sem": unflatten(sem),
     }

@@ -132,3 +132,26 @@ def test_elevation_bands_are_exact():
                                   np.asarray(flat["depth"]))
     np.testing.assert_array_equal(np.asarray(banded["rgb"]),
                                   np.asarray(flat["rgb"]))
+
+
+def test_packed_and_unpacked_outputs_agree():
+    """The packed int32 RGB+sem output and the round-2 five-plane layout
+    must agree: sem and depth exactly, color within the 8-bit quantization
+    the packed path applies (the unpacked path writes raw f32)."""
+    sim = SimConfig(cam_width=64, cam_height=64)
+    keys = jax.random.split(jax.random.PRNGKey(11), 2)
+    targets = jnp.asarray(scene_lib.EVAL_GOAL_INDICES[:2])
+    goal_y = jnp.asarray(scene_lib.SLOT_XY)[targets, 1]
+    xs, ys, yaws = jax.vmap(scene_lib.eval_start_pose, in_axes=(0, None, None))(
+        goal_y, 2, 6)
+    st = jax.vmap(reset_env)(keys, targets, xs, ys, yaws)
+
+    a = render_cameras_pallas(st.ego.x, st.ego.y, st.ego.yaw, st.scene,
+                              sim, n_boxes=3, interpret=True, packed=True)
+    b = render_cameras_pallas(st.ego.x, st.ego.y, st.ego.yaw, st.scene,
+                              sim, n_boxes=3, interpret=True, packed=False)
+    np.testing.assert_array_equal(np.asarray(a["sem"]), np.asarray(b["sem"]))
+    np.testing.assert_array_equal(np.asarray(a["depth"]),
+                                  np.asarray(b["depth"]))
+    np.testing.assert_allclose(np.asarray(a["rgb"]), np.asarray(b["rgb"]),
+                               atol=0.5 / 255.0 + 1e-6)

@@ -36,14 +36,15 @@ def main():
         jax.random.split(jax.random.PRNGKey(1), n_envs), targets, xs, ys, yaws)
     est = ExpertState.init((n_envs,))
 
-    def make_run(bands):
+    def make_run(bands, packed):
         def body(carry, _):
             s, e, acc = carry
             ctrl, e = jax.vmap(lambda a, b, c: expert_policy(a, b, c, sim_cfg))(
                 s.ego, s.scene, e)
             s = jax.vmap(lambda st, c: step_env(st, c, sim_cfg, eval_cfg))(s, ctrl)
             cams = render_cameras_pallas(
-                s.ego.x, s.ego.y, s.ego.yaw, s.scene, sim_cfg, bands=bands)
+                s.ego.x, s.ego.y, s.ego.yaw, s.scene, sim_cfg,
+                bands=bands, packed=packed)
             sink = jnp.sum(cams["rgb"]) + jnp.sum(cams["depth"])
             return (s, e, acc + sink), None
 
@@ -54,8 +55,9 @@ def main():
 
         return run
 
-    for bands in (0, 2, 4, 8):
-        run = make_run(bands)
+    for bands, packed in ((0, True), (2, True), (4, True), (8, True),
+                          (0, False), (2, False)):
+        run = make_run(bands, packed)
         carry = (states, est, jnp.float32(0.0))
         carry = run(carry, n_steps)                # compile + warm
         float(carry[2])                            # fence
@@ -63,7 +65,8 @@ def main():
         out = run(carry, n_steps)                  # warmed carry: fresh inputs
         sink = float(out[2])                       # host fetch = fence
         dt = time.perf_counter() - t0
-        print(f"bands={bands}: {n_envs * n_steps / dt:,.0f} env steps/s "
+        print(f"bands={bands} packed={int(packed)}: "
+              f"{n_envs * n_steps / dt:,.0f} env steps/s "
               f"(sink {sink:.3e})", flush=True)
 
 
