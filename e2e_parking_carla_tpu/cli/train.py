@@ -60,6 +60,12 @@ def parse_args(argv=None):
                    help="override TrainConfig.dagger_timeout_keep_every "
                         "(keep every Nth frame of DAgger timeout episodes; "
                         "0 = drop them entirely)")
+    p.add_argument("--dagger_late_boost", type=float, default=None,
+                   help="override TrainConfig.dagger_late_boost (multiply "
+                        "the DAgger slice by this past dagger_late_frac of "
+                        "the schedule; CR-targeted late correction)")
+    p.add_argument("--dagger_late_frac", type=float, default=None,
+                   help="override TrainConfig.dagger_late_frac")
     p.add_argument("--ema_decay", type=float, default=None,
                    help="override TrainConfig.ema_decay (0 disables EMA)")
     p.add_argument("--dart_steer", type=float, default=None,
@@ -105,6 +111,14 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(
                 cfg.train, dagger_timeout_keep_every=args.dagger_timeout_keep))
+    if args.dagger_late_boost is not None:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, dagger_late_boost=args.dagger_late_boost))
+    if args.dagger_late_frac is not None:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, dagger_late_frac=args.dagger_late_frac))
     if args.ema_decay is not None:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, ema_decay=args.ema_decay))
