@@ -76,6 +76,33 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+# (CLI flag, TrainConfig field) pairs applied when the flag is given —
+# every quality lever is overridable per run without editing YAML
+_TRAIN_OVERRIDES = (
+    ("dagger_frac", "dagger_envs_frac"),
+    ("dagger_mix", "dagger_expert_mix"),
+    ("dagger_start", "dagger_start_step"),
+    ("near_frac", "start_near_frac"),
+    ("dagger_timeout_keep", "dagger_timeout_keep_every"),
+    ("dagger_late_boost", "dagger_late_boost"),
+    ("dagger_late_frac", "dagger_late_frac"),
+    ("ema_decay", "ema_decay"),
+    ("dart_steer", "dart_steer_sigma"),
+    ("dart_accel", "dart_accel_sigma"),
+)
+
+
+def apply_train_overrides(cfg, args):
+    """Fold non-None CLI lever flags into cfg.train."""
+    updates = {field: getattr(args, flag)
+               for flag, field in _TRAIN_OVERRIDES
+               if getattr(args, flag) is not None}
+    if not updates:
+        return cfg
+    return dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, **updates))
+
+
 def main(argv=None):
     args = parse_args(argv)
 
@@ -91,45 +118,7 @@ def main(argv=None):
     from e2e_parking_carla_tpu.train.loop import train_loop
 
     cfg = load_config(args.config) if args.config else Config()
-    if args.dagger_frac is not None:
-        cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(cfg.train,
-                                           dagger_envs_frac=args.dagger_frac))
-    if args.dagger_mix is not None:
-        cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(cfg.train,
-                                           dagger_expert_mix=args.dagger_mix))
-    if args.dagger_start is not None:
-        cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(cfg.train,
-                                           dagger_start_step=args.dagger_start))
-    if args.near_frac is not None:
-        cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(cfg.train,
-                                           start_near_frac=args.near_frac))
-    if args.dagger_timeout_keep is not None:
-        cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(
-                cfg.train, dagger_timeout_keep_every=args.dagger_timeout_keep))
-    if args.dagger_late_boost is not None:
-        cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(
-                cfg.train, dagger_late_boost=args.dagger_late_boost))
-    if args.dagger_late_frac is not None:
-        cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(
-                cfg.train, dagger_late_frac=args.dagger_late_frac))
-    if args.ema_decay is not None:
-        cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(cfg.train, ema_decay=args.ema_decay))
-    if args.dart_steer is not None:
-        cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(cfg.train,
-                                           dart_steer_sigma=args.dart_steer))
-    if args.dart_accel is not None:
-        cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(cfg.train,
-                                           dart_accel_sigma=args.dart_accel))
+    cfg = apply_train_overrides(cfg, args)
     if args.smoke:
         tiny = dataclasses.replace(
             ModelConfig(), backbone="efficientnet-b0", image_crop=32,
