@@ -131,7 +131,10 @@ run_stage() {
 case "${1:-all}" in
   all)
     bash tools/tpu_poll.sh || exit 1
-    for s in c3eval train r4eval sweep bench nodepth mlp nosl b4; do
+    # b4 (resumable across rounds) outranks the MLP ablation (VERDICT-2
+    # item 3 vs 4); it runs last because it absorbs all remaining wall
+    # clock. mlp only runs if b4 is skipped/finished.
+    for s in c3eval train r4eval sweep bench nodepth nosl b4 mlp; do
       run_stage "$s"
     done
     ;;
