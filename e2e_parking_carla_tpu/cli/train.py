@@ -66,6 +66,11 @@ def parse_args(argv=None):
                         "the schedule; CR-targeted late correction)")
     p.add_argument("--dagger_late_frac", type=float, default=None,
                    help="override TrainConfig.dagger_late_frac")
+    p.add_argument("--mirror_aug", action="store_const", const=True,
+                   default=None,
+                   help="enable TrainConfig.mirror_aug (reflect half of "
+                        "each batch across the ego's longitudinal axis; "
+                        "exact for the symmetric camera rig)")
     p.add_argument("--ema_decay", type=float, default=None,
                    help="override TrainConfig.ema_decay (0 disables EMA)")
     p.add_argument("--dart_steer", type=float, default=None,
@@ -86,6 +91,7 @@ _TRAIN_OVERRIDES = (
     ("dagger_timeout_keep", "dagger_timeout_keep_every"),
     ("dagger_late_boost", "dagger_late_boost"),
     ("dagger_late_frac", "dagger_late_frac"),
+    ("mirror_aug", "mirror_aug"),
     ("ema_decay", "ema_decay"),
     ("dart_steer", "dart_steer_sigma"),
     ("dart_accel", "dart_accel_sigma"),

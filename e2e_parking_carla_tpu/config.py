@@ -324,6 +324,20 @@ class TrainConfig:
     # uniform sweep.
     start_near_frac: float = 0.0
 
+    # Mirror augmentation: reflect half of each training batch across the
+    # ego's longitudinal axis (data/rollout.py:mirror_batch). The camera
+    # rig is exactly left-right symmetric (geometry.py CAM_RIG: left/right
+    # at y=-/+0.8 yaw -/+90, front/rear centered), so the mirrored-world
+    # observation through the standard rig IS the left<->right camera swap
+    # + horizontal pixel flip of the original render — no re-render, no
+    # approximation — and bicycle dynamics mirror-commute, so negating the
+    # steer labels is exact. Motivated by the measured protocol asymmetry
+    # (flagship + cycle-2, both: -90-heading starts TSR ~60 vs +90 ~78;
+    # right-side slots 76 vs left 63.5): the maneuver distribution is
+    # handedness-balanced only in expectation, and the policy overfits the
+    # sampled imbalance.
+    mirror_aug: bool = False
+
     # DART-style noise injection during EXPERT data collection (Laskey et
     # al. 2017): the executed control is the expert's action plus
     # OU-correlated noise, while the recorded label stays the expert's CLEAN

@@ -177,16 +177,68 @@ def normalize_images(rgb):
     return (rgb - IMAGENET_MEAN) / IMAGENET_STD
 
 
+# CAM_ORDER is (front, left, right, rear); mirroring across the ego's
+# longitudinal axis swaps the side cameras and h-flips every image
+_MIRROR_CAM_PERM = (0, 2, 1, 3)
+
+
+def mirror_batch(batch: dict, mask: jnp.ndarray) -> dict:
+    """Reflect the selected samples across the ego's longitudinal axis.
+
+    mask: (B,) bool. Exact world-level mirror expressed as tensor ops (see
+    TrainConfig.mirror_aug): images/depth swap left<->right cameras and
+    flip the pixel column axis, the BEV seg flips its +y (rightward) column
+    axis, target_point negates lateral offset and relative yaw, ego_motion
+    negates the lateral (centripetal) acceleration, and the steer labels
+    (token sequence + raw) negate. Throttle/brake/reverse are invariant.
+    """
+    perm = jnp.asarray(_MIRROR_CAM_PERM)
+
+    def sel(m, a, b):
+        shape = (-1,) + (1,) * (a.ndim - 1)
+        return jnp.where(m.reshape(shape), a, b)
+
+    images = batch["images"][:, perm, :, ::-1, :]
+    depth = batch["depth"][:, perm, :, ::-1]
+    seg = batch["segmentation"][:, :, ::-1]
+    target = batch["target_point"] * jnp.asarray([1.0, -1.0, -1.0])
+    ego_motion = batch["ego_motion"] * jnp.asarray([1.0, 1.0, -1.0])
+    steer = -batch["gt_steer"]
+    # retokenize the mirrored steer; throttle/brake/reverse columns are
+    # rebuilt identically from the stored raw controls
+    frames = tok.tokenize(jnp.maximum(batch["gt_acc"], 0.0),
+                          jnp.maximum(-batch["gt_acc"], 0.0),
+                          steer, batch["gt_reverse"].astype(jnp.float32))
+    gt_control = tok.build_sequence(frames, batch["gt_control"].shape[-1])
+
+    out = dict(batch)
+    out["images"] = sel(mask, images, batch["images"])
+    out["depth"] = sel(mask, depth, batch["depth"])
+    out["segmentation"] = sel(mask, seg, batch["segmentation"])
+    out["target_point"] = sel(mask, target, batch["target_point"])
+    out["ego_motion"] = sel(mask, ego_motion, batch["ego_motion"])
+    out["gt_steer"] = sel(mask, steer, batch["gt_steer"])
+    out["gt_control"] = sel(mask, gt_control, batch["gt_control"])
+    return out
+
+
 def make_batch(buffer: EpisodeBuffer, key: jax.Array, batch_size: int,
-               model_cfg: ModelConfig, sim_cfg: SimConfig):
+               model_cfg: ModelConfig, sim_cfg: SimConfig,
+               mirror_aug: bool = False):
     """Sample a training batch and render it. Returns the training dict.
 
     Jittable end-to-end: index sampling, state gathers, camera + BEV
     rendering, tokenization. This IS the input pipeline — there are no host
     workers to keep fed.
+
+    mirror_aug: reflect a random half of the batch across the ego's
+    longitudinal axis (TrainConfig.mirror_aug).
     """
     E, T = buffer.valid.shape
-    k_idx, = jax.random.split(key, 1)
+    if mirror_aug:
+        k_idx, k_mirror = jax.random.split(key, 2)
+    else:
+        k_idx, = jax.random.split(key, 1)
     p = buffer.valid.reshape(-1).astype(jnp.float32)
     p = p / jnp.maximum(p.sum(), 1.0)
     flat = jax.random.choice(k_idx, E * T, (batch_size,), replace=True, p=p)
@@ -233,7 +285,7 @@ def make_batch(buffer: EpisodeBuffer, key: jax.Array, batch_size: int,
     # raw signed acc (throttle or -brake), as add_raw_control records
     gt_acc = jnp.where(brake != 0.0, -brake, throttle)
 
-    return {
+    batch = {
         "images": images,
         "depth": depth,
         "segmentation": seg,
@@ -244,3 +296,7 @@ def make_batch(buffer: EpisodeBuffer, key: jax.Array, batch_size: int,
         "gt_steer": steer,
         "gt_reverse": buffer.reverse[ee, tt].astype(jnp.int32),
     }
+    if mirror_aug:
+        batch = mirror_batch(
+            batch, jax.random.bernoulli(k_mirror, 0.5, (batch_size,)))
+    return batch

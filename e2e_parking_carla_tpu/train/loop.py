@@ -106,8 +106,10 @@ def train_loop(
     collect_dagger_late = (
         _make_collect_dagger(n_dagger_late)
         if n_dagger and n_dagger_late != n_dagger else collect_dagger)
+    mirror_aug = bool(getattr(cfg.train, "mirror_aug", False))
     batch_fn = jax.jit(
-        lambda buf, key: make_batch(buf, key, cfg.train.batch_size, cfg.model, cfg.sim))
+        lambda buf, key: make_batch(buf, key, cfg.train.batch_size, cfg.model,
+                                    cfg.sim, mirror_aug=mirror_aug))
 
     def log(msg):
         if log_fn:
@@ -156,7 +158,8 @@ def train_loop(
 
         def body(carry, k_i):
             s = carry
-            batch = make_batch(buf, k_i, cfg.train.batch_size, cfg.model, cfg.sim)
+            batch = make_batch(buf, k_i, cfg.train.batch_size, cfg.model,
+                               cfg.sim, mirror_aug=mirror_aug)
             s, metrics = inner_step(s, batch, k_train)
             return s, metrics["train_loss"]
 
