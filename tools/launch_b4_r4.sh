@@ -12,7 +12,7 @@ ARGS=(--config config/training.yaml --steps 75000
       --probe_every 2000
       --probe_export checkpoints/policy_b4_r4_best.msgpack.gz
       --image_log_dir artifacts/trainlog_b4_r4
-      --dagger_timeout_keep 4 --near_frac 0.5)
+      --dagger_timeout_keep 4 --near_frac 0.5 --mirror_aug)
 
 export PYTHONPATH="/root/repo:/root/.axon_site"
 nohup python -u -m e2e_parking_carla_tpu.cli.train "${ARGS[@]}" \

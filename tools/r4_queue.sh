@@ -43,7 +43,8 @@ stage_train() {
   ARGS=(--config config/training_b0.yaml --steps 30000 --probe_every 1000
         --probe_export checkpoints/policy_b0_r4_best.msgpack.gz
         --image_log_dir artifacts/trainlog_b0_r4
-        --dagger_timeout_keep 4 --near_frac 0.5 --dagger_late_boost 2.0)
+        --dagger_timeout_keep 4 --near_frac 0.5 --dagger_late_boost 2.0
+        --mirror_aug)
   nohup python -u -m e2e_parking_carla_tpu.cli.train "${ARGS[@]}" \
     > "$LOG" 2>&1 &
   echo $! > "$PIDFILE"
