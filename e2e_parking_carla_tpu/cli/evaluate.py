@@ -36,6 +36,10 @@ def parse_args(argv=None):
                         "set) instead of the raw SGD iterate")
     p.add_argument("--no_speed_limit", action="store_true",
                    help="ablation: disable the agent speed-limit heuristics")
+    p.add_argument("--mirror_ensemble", action="store_true",
+                   help="test-time mirror ensembling: decode jointly from "
+                        "the observation and its exact ego-axis mirror "
+                        "(chirality-balanced by construction, ~2x AIT)")
     p.add_argument("--show_eva_imgs", action="store_true",
                    help="live view (reference carla_parking_eva.py flag): "
                         "run ONE attempt step-by-step with a pygame panel "
@@ -107,7 +111,8 @@ def main(argv=None):
         cfg, eval=dataclasses.replace(
             cfg.eval, epochs=args.eva_epochs, task_nums=args.eva_task_nums,
             parking_nums=args.eva_parking_nums,
-            use_speed_limit=not args.no_speed_limit))
+            use_speed_limit=not args.no_speed_limit,
+            mirror_ensemble=args.mirror_ensemble))
     if args.smoke:
         # keep the full 30 s per-attempt budget (the maneuver itself takes
         # ~25 s); just shrink the protocol

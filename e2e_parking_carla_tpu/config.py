@@ -237,6 +237,9 @@ class EvalConfig:
     stall_boost_throttle: float = 0.3
     settle_seconds: float = 1.0
     use_speed_limit: bool = True  # paper Table III "w/o speed limit" ablation
+    mirror_ensemble: bool = False  # test-time mirror ensembling (mirror.py):
+    # decode one chain from obs + its ego-axis mirror; exactly
+    # chirality-balanced by construction, ~2x encoder cost per step
     env_chunk: int = 48  # envs rolled out per device call (HBM bound: the
     # lift-splat point tensor is ~25 MB/env in bf16 plus f32 prefix sums)
 

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from e2e_parking_carla_tpu import mirror as mirror_lib
 from e2e_parking_carla_tpu import tokens as tok
 from e2e_parking_carla_tpu.config import EvalConfig, ModelConfig, SimConfig
 from e2e_parking_carla_tpu.sim import scene as scene_lib
@@ -177,32 +178,26 @@ def normalize_images(rgb):
     return (rgb - IMAGENET_MEAN) / IMAGENET_STD
 
 
-# CAM_ORDER is (front, left, right, rear); mirroring across the ego's
-# longitudinal axis swaps the side cameras and h-flips every image
-_MIRROR_CAM_PERM = (0, 2, 1, 3)
-
-
 def mirror_batch(batch: dict, mask: jnp.ndarray) -> dict:
     """Reflect the selected samples across the ego's longitudinal axis.
 
     mask: (B,) bool. Exact world-level mirror expressed as tensor ops (see
-    TrainConfig.mirror_aug): images/depth swap left<->right cameras and
-    flip the pixel column axis, the BEV seg flips its +y (rightward) column
-    axis, target_point negates lateral offset and relative yaw, ego_motion
-    negates the lateral (centripetal) acceleration, and the steer labels
-    (token sequence + raw) negate. Throttle/brake/reverse are invariant.
+    TrainConfig.mirror_aug and the mirror module): images/depth swap
+    left<->right cameras and flip the pixel column axis, the BEV seg flips
+    its +y (rightward) column axis, target_point negates lateral offset and
+    relative yaw, ego_motion negates the lateral (centripetal)
+    acceleration, and the steer labels (token sequence + raw) negate.
+    Throttle/brake/reverse are invariant.
     """
-    perm = jnp.asarray(_MIRROR_CAM_PERM)
 
     def sel(m, a, b):
         shape = (-1,) + (1,) * (a.ndim - 1)
         return jnp.where(m.reshape(shape), a, b)
 
-    images = batch["images"][:, perm, :, ::-1, :]
-    depth = batch["depth"][:, perm, :, ::-1]
+    images, ego_motion, target = mirror_lib.mirror_observation(
+        batch["images"], batch["ego_motion"], batch["target_point"])
+    depth = mirror_lib.mirror_images(batch["depth"])
     seg = batch["segmentation"][:, :, ::-1]
-    target = batch["target_point"] * jnp.asarray([1.0, -1.0, -1.0])
-    ego_motion = batch["ego_motion"] * jnp.asarray([1.0, 1.0, -1.0])
     steer = -batch["gt_steer"]
     # retokenize the mirrored steer; throttle/brake/reverse columns are
     # rebuilt identically from the stored raw controls

@@ -59,8 +59,10 @@ class ClosedLoopEvaluator:
 
     # ------------------------------------------------------------------
     def _predict(self, variables, images, ego_motion, target_point):
+        method = (self.model.predict_ensemble if self.cfg.eval.mirror_ensemble
+                  else self.model.predict)
         return self.model.apply(variables, images, ego_motion, target_point,
-                                method=self.model.predict)
+                                method=method)
 
     def _build_rollout(self):
         cfg = self.cfg

@@ -99,6 +99,50 @@ class ControlDecoder(nn.Module):
         tokens, _ = jax.lax.scan(step, tokens, jnp.arange(n_new))
         return tokens[:, : L0 + n_new]
 
+    def decode_ensemble(self, memory_a, memory_b, prefix, n_new: int):
+        """Joint greedy decode over two memories, where memory_b encodes
+        the MIRRORED observation (mirror module): one coherent argmax chain
+        over the average of the two streams' log-probabilities, with the
+        b-stream's steer logits permuted into a-space (and the chosen token
+        mirrored back into the b-stream's prefix). Guarantees by symmetry
+        that the ensembled policy is exactly chirality-balanced:
+        predict(mirror(obs)) == mirror(predict(obs))."""
+        from e2e_parking_carla_tpu import mirror as mirror_lib
+
+        cfg = self.cfg
+        B, L0 = prefix.shape
+        L = cfg.tf_de_tgt_dim - 1
+        perm = jnp.asarray(mirror_lib.STEER_TOKEN_PERM)
+
+        def pad_to(p):
+            return jnp.concatenate(
+                [p, jnp.full((B, L - L0), cfg.pad_token, jnp.int32)], axis=1)
+
+        tokens_a = pad_to(prefix)
+        tokens_b = pad_to(mirror_lib.mirror_sequence(prefix))
+
+        def step(carry, i):
+            ta, tb = carry
+            idx = L0 + i  # token index being generated
+            pos = idx - 1  # logit at the last real position
+            la = self._run(ta, memory_a, train=False)
+            lb = self._run(tb, memory_b, train=False)
+            la = jax.lax.dynamic_index_in_dim(la, pos, axis=1, keepdims=False)
+            lb = jax.lax.dynamic_index_in_dim(lb, pos, axis=1, keepdims=False)
+            steer_here = mirror_lib.is_steer_index(idx)
+            lb = jnp.where(steer_here, lb[:, perm], lb)
+            avg = jax.nn.log_softmax(la.astype(jnp.float32), axis=-1) \
+                + jax.nn.log_softmax(lb.astype(jnp.float32), axis=-1)
+            nxt = jnp.argmax(avg, axis=-1).astype(jnp.int32)
+            nxt_b = jnp.where(steer_here, perm[nxt], nxt)
+            ta = jax.lax.dynamic_update_index_in_dim(ta, nxt, idx, axis=1)
+            tb = jax.lax.dynamic_update_index_in_dim(tb, nxt_b, idx, axis=1)
+            return (ta, tb), nxt
+
+        (tokens_a, _), _ = jax.lax.scan(
+            step, (tokens_a, tokens_b), jnp.arange(n_new))
+        return tokens_a[:, : L0 + n_new]
+
 
 class MLPControlDecoder(nn.Module):
     """Non-autoregressive MLP decoder — the paper's Table III ablation
@@ -132,4 +176,20 @@ class MLPControlDecoder(nn.Module):
         logits = self._logits(memory)
         B, L0 = prefix.shape
         new = jnp.argmax(logits[:, L0 - 1 : L0 - 1 + n_new], axis=-1)
+        return jnp.concatenate([prefix, new.astype(jnp.int32)], axis=1)
+
+    def decode_ensemble(self, memory_a, memory_b, prefix, n_new: int):
+        """Mirror-ensembled variant (see ControlDecoder.decode_ensemble);
+        non-autoregressive, so the two streams average position-wise."""
+        from e2e_parking_carla_tpu import mirror as mirror_lib
+
+        la = self._logits(memory_a).astype(jnp.float32)
+        lb = self._logits(memory_b).astype(jnp.float32)
+        B, L0 = prefix.shape
+        # logits position j predicts token index j + 1
+        steer_pos = mirror_lib.is_steer_index(jnp.arange(la.shape[1]) + 1)
+        perm = jnp.asarray(mirror_lib.STEER_TOKEN_PERM)
+        lb = jnp.where(steer_pos[None, :, None], lb[:, :, perm], lb)
+        avg = jax.nn.log_softmax(la, axis=-1) + jax.nn.log_softmax(lb, axis=-1)
+        new = jnp.argmax(avg[:, L0 - 1 : L0 - 1 + n_new], axis=-1)
         return jnp.concatenate([prefix, new.astype(jnp.int32)], axis=1)

@@ -153,3 +153,44 @@ class ParkingModel(nn.Module):
         prefix = jnp.full((B, 1), self.cfg.bos_token, jnp.int32)
         tokens = self.control_decoder.decode(fused, prefix, 3 * n_frames)
         return tokens, seg, depth, stamp
+
+    def predict_ensemble(self, images, ego_motion, target_point,
+                         n_frames: int = 1):
+        """Mirror-ensembled greedy decode (test-time augmentation).
+
+        Runs the perception stack on both the observation and its exact
+        ego-axis mirror (mirror.py: the rig is LR-symmetric, so the mirrored
+        world's render IS the camera-swapped, pixel-flipped original), then
+        jointly decodes one token chain from the averaged log-probabilities,
+        with the mirrored stream's steer logits permuted back into original
+        chirality. By construction the ensembled policy satisfies
+        predict(mirror(obs)) == mirror(predict(obs)) — it cannot prefer one
+        turning direction over the other. Segmentation logits are averaged
+        the same way (the mirrored stream's map un-flipped along BEV +y) so
+        target self-tracking is chirality-balanced too. ~2x encoder cost.
+
+        No reference analog (the torch model has no TTA path); added to
+        attack the measured chiral failure anatomy of the trained policy.
+        """
+        from e2e_parking_carla_tpu import mirror as mirror_lib
+
+        m_images, m_ego, m_tp = mirror_lib.mirror_observation(
+            images, ego_motion, target_point)
+        B = images.shape[0]
+        # one encoder call over the stacked (original; mirrored) batch:
+        # eval-mode BatchNorm/dropout are per-sample, so this is exact, and
+        # the 2B batch keeps the MXU fed instead of paying two dispatches
+        fused, seg, depth, stamp = self.encoder(
+            jnp.concatenate([images, m_images], axis=0),
+            jnp.concatenate([ego_motion, m_ego], axis=0),
+            jnp.concatenate([target_point, m_tp], axis=0), False)
+        fused_a, fused_b = fused[:B], fused[B:]
+        seg_a, seg_b = seg[:B], seg[B:]
+        depth, stamp = depth[:B], stamp[:B]
+        prefix = jnp.full((B, 1), self.cfg.bos_token, jnp.int32)
+        tokens = self.control_decoder.decode_ensemble(
+            fused_a, fused_b, prefix, 3 * n_frames)
+        # seg logits are (B, X, Y, C) on the BEV grid; BEV +y (rightward)
+        # is axis 2 — un-mirror the b-stream and average
+        seg = 0.5 * (seg_a + seg_b[:, :, ::-1])
+        return tokens, seg, depth, stamp

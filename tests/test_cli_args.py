@@ -30,3 +30,11 @@ def test_flags_reach_train_config():
 def test_no_flags_is_identity():
     cfg = Config()
     assert apply_train_overrides(cfg, parse_args([])) is cfg
+
+
+def test_eval_mirror_ensemble_flag_reaches_config():
+    from e2e_parking_carla_tpu.cli import evaluate as eval_cli
+
+    args = eval_cli.parse_args(["--expert", "--mirror_ensemble"])
+    assert args.mirror_ensemble
+    assert not eval_cli.parse_args(["--expert"]).mirror_ensemble

@@ -19,13 +19,18 @@ each tested here:
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
 from e2e_parking_carla_tpu import tokens as tok
 from e2e_parking_carla_tpu.config import EvalConfig, ModelConfig, SimConfig
 from e2e_parking_carla_tpu.data.rollout import (
-    collect_episodes, make_batch, mirror_batch, _MIRROR_CAM_PERM)
+    collect_episodes, make_batch, mirror_batch)
+from e2e_parking_carla_tpu.mirror import (
+    MIRROR_CAM_PERM as _MIRROR_CAM_PERM, STEER_TOKEN_PERM,
+    mirror_observation, mirror_sequence)
+from e2e_parking_carla_tpu.models.parking_model import ParkingModel
 from e2e_parking_carla_tpu.sim import scene as scene_lib
 from e2e_parking_carla_tpu.sim.bev import render_bev_seg
 from e2e_parking_carla_tpu.sim.camera import camera_rays
@@ -160,3 +165,74 @@ def test_make_batch_mirror_aug_flag():
     assert batch["images"].shape[1] == 4
     plain = _tiny_batch(mirror_aug=False)
     assert batch["gt_control"].shape == plain["gt_control"].shape
+
+
+# ---------------------------------------------------------------------------
+# test-time mirror ensembling
+# ---------------------------------------------------------------------------
+
+
+def test_steer_token_perm_is_involution_and_fixes_specials():
+    perm = STEER_TOKEN_PERM
+    np.testing.assert_array_equal(perm[perm], np.arange(tok.TOKEN_NUMS))
+    # specials and the full-lock / neutral steer tokens
+    for t in (tok.BOS, tok.EOS, tok.PAD):
+        assert perm[t] == t
+    assert perm[0] == tok.VALID_TOKEN  # steer -1 <-> steer +1
+    assert perm[tok.VALID_TOKEN // 2] == tok.VALID_TOKEN // 2  # steer 0
+
+
+def _ensembled_model(decoder_type):
+    model_cfg = dataclasses.replace(TINY_MODEL, decoder_type=decoder_type)
+    model = ParkingModel(model_cfg, TINY_SIM)
+    batch = _tiny_batch()
+    variables = model.init(
+        {"params": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)},
+        batch["images"], batch["ego_motion"], batch["target_point"],
+        batch["gt_control"], train=False)
+    return model, variables, batch
+
+
+@pytest.mark.parametrize("decoder_type", ["transformer", "mlp"])
+def test_predict_ensemble_is_exactly_chirality_balanced(decoder_type):
+    """predict_ensemble(mirror(obs)) == mirror(predict_ensemble(obs)).
+
+    Exact by construction: the mirrored call's (a, b) streams are the
+    original call's (b, a) streams (mirror_observation is a bitwise
+    involution), log-prob addition is commutative, and the steer-token
+    permutation is an involution — so the generated chains must be each
+    other's mirror_sequence, and the averaged seg maps each other's
+    column flip. Checked on random weights, where any bookkeeping slip
+    (wrong perm axis, wrong steer positions, wrong seg flip) breaks it.
+    """
+    model, variables, batch = _ensembled_model(decoder_type)
+    img = batch["images"][:2]
+    ego = batch["ego_motion"][:2]
+    tp = batch["target_point"][:2]
+
+    fn = jax.jit(lambda v, i, e, t: model.apply(
+        v, i, e, t, method=model.predict_ensemble))
+    toks, seg, _, _ = fn(variables, img, ego, tp)
+    m_img, m_ego, m_tp = mirror_observation(img, ego, tp)
+    toks_m, seg_m, _, _ = fn(variables, m_img, m_ego, m_tp)
+
+    np.testing.assert_array_equal(
+        np.asarray(toks_m), np.asarray(mirror_sequence(toks)))
+    np.testing.assert_allclose(
+        np.asarray(seg_m, np.float32), np.asarray(seg[:, :, ::-1], np.float32),
+        atol=1e-6)
+    # tokens are well-formed: BOS prefix preserved, vocab-bounded
+    assert int(toks[0, 0]) == TINY_MODEL.bos_token
+    assert np.asarray(toks).max() < TINY_MODEL.token_nums
+
+
+def test_predict_ensemble_vs_plain_shapes():
+    """Ensemble output contract matches plain predict (drop-in for eval)."""
+    model, variables, batch = _ensembled_model("transformer")
+    img, ego, tp = (batch["images"][:2], batch["ego_motion"][:2],
+                    batch["target_point"][:2])
+    t0, s0, d0, st0 = model.apply(variables, img, ego, tp, method=model.predict)
+    t1, s1, d1, st1 = model.apply(variables, img, ego, tp,
+                                  method=model.predict_ensemble)
+    assert t1.shape == t0.shape and s1.shape == s0.shape
+    assert d1.shape == d0.shape and st1.shape == st0.shape

@@ -204,6 +204,29 @@ def test_closed_loop_eval_smoke(model_state, tmp_path):
                                np.asarray(env0.ego.y), atol=1e-5)
 
 
+def test_closed_loop_eval_mirror_ensemble_smoke(model_state, tmp_path):
+    """The mirror-ensembled evaluator path (EvalConfig.mirror_ensemble,
+    models/parking_model.py:predict_ensemble) jit-compiles inside the
+    scanned rollout and completes the mini protocol."""
+    from e2e_parking_carla_tpu.eval import ClosedLoopEvaluator
+
+    model, state, _ = model_state
+    cfg = dataclasses.replace(
+        TINY_CFG,
+        eval=EvalConfig(epochs=1, task_nums=1, parking_nums=2,
+                        frames_total_needed=150, frames_outbound_needed=60,
+                        mirror_ensemble=True),
+    )
+    ev = ClosedLoopEvaluator(
+        model, {"params": state.params, "batch_stats": state.batch_stats}, cfg)
+    overall, per_epoch = ev.run(out_dir=str(tmp_path), epochs=1)
+    assert len(per_epoch) == 1
+    total = overall["TSR"] + overall["TFR"] + overall["NTSR"] + overall["NTFR"] \
+        + overall["CR"] + overall["OR"] + overall["TR"]
+    assert 0.0 <= total <= 100.0 + 1e-6
+    assert overall["AIT"] > 0
+
+
 def test_closed_loop_probe_and_soup(model_state, tmp_path):
     """Multi-seed probe selection + top-K weight-soup export (round-3
     variance treatment, train/probe.py): two probe calls on different weight

@@ -2,6 +2,7 @@
 # Round-3-remainder chip queue (one v5e; one holder at a time).
 # Stages in priority order toward the VERDICT-2 gate (TSR>=75, CR<=5):
 #   c3eval  — protocol eval of the cycle-3 recovery-lever checkpoint
+#   flageval_me — flagship + test-time mirror ensembling (no retraining)
 #   train   — FRESH 30k b0 run: flagship recipe + timeout-keep + near-band
 #             upweight + late CR-targeted DAgger boost (untried combo),
 #             under the stall watchdog
@@ -65,14 +66,40 @@ stage_train() {
   echo "train: done"
 }
 
+stage_flageval_me() {
+  # test-time mirror ensembling on the EXISTING flagship: targets the
+  # measured chiral failure anatomy (-90 starts TSR ~60 vs +90 ~78)
+  # without any retraining; ~2x AIT
+  [ -d eva_result_b0_r3_me ] && { echo "flageval_me: exists, skip"; return; }
+  timeout 3600 python -u -m e2e_parking_carla_tpu.cli.evaluate \
+    --weights checkpoints/policy_b0_r3_best.msgpack.gz \
+    --model_config_path config/training_b0.yaml --mirror_ensemble \
+    --eva_result_path eva_result_b0_r3_me
+}
+
 stage_r4eval() {
   [ -f checkpoints/policy_b0_r4_best.msgpack.gz ] || \
     { echo "r4eval: no export"; return; }
-  [ -d eva_result_b0_r4 ] && { echo "r4eval: exists, skip"; return; }
+  [ -d eva_result_b0_r4 ] || \
   timeout 2400 python -u -m e2e_parking_carla_tpu.cli.evaluate \
     --weights checkpoints/policy_b0_r4_best.msgpack.gz \
     --model_config_path config/training_b0.yaml \
     --eva_result_path eva_result_b0_r4
+  [ -d eva_result_b0_r4_me ] || \
+  timeout 3600 python -u -m e2e_parking_carla_tpu.cli.evaluate \
+    --weights checkpoints/policy_b0_r4_best.msgpack.gz \
+    --model_config_path config/training_b0.yaml --mirror_ensemble \
+    --eva_result_path eva_result_b0_r4_me
+  # mark the r4 export as the downstream default iff it beats the flagship
+  # on the deploy score (TSR - 2*CR, the probe selection metric)
+  python - <<'EOF' && touch /tmp/r4_best_is_r4 || true
+import csv, sys
+def score(d):
+    with open(d + "/result_mean.csv") as f:
+        row = next(csv.DictReader(f))
+    return float(row["TSR"]) - 2.0 * float(row["CR"])
+sys.exit(0 if score("eva_result_b0_r4") > score("eva_result_b0_r3") else 1)
+EOF
 }
 
 stage_sweep() {
@@ -135,7 +162,7 @@ case "${1:-all}" in
     # b4 (resumable across rounds) outranks the MLP ablation (VERDICT-2
     # item 3 vs 4); it runs last because it absorbs all remaining wall
     # clock. mlp only runs if b4 is skipped/finished.
-    for s in c3eval train r4eval sweep bench nodepth nosl b4 mlp; do
+    for s in c3eval flageval_me train r4eval sweep bench nodepth nosl b4 mlp; do
       run_stage "$s"
     done
     ;;
