@@ -317,17 +317,173 @@ def _wrap(a):
     return (a + np.pi) % (2.0 * np.pi) - np.pi
 
 
+# ---------------------------------------------------------------------------
+# Fused Pallas cull
+#
+# The XLA-side cull (the `cull="xla"` branch below) is ~25 small kernels per
+# frame — elementwise prep over (E, 4, sec, 64), K argmin/extract rounds,
+# gathers — whose per-launch overhead inside the 30 Hz scan body was measured
+# at ~3.8 ms/frame-batch on v5e (~40% of the whole render). This kernel does
+# the whole candidate selection in ONE launch: one grid cell per env, a
+# (tiles, 128-lane slot) block, K min-extract rounds along lanes.
+#
+# The azimuth-overlap test is algebraically identical to the XLA branch but
+# trig-free (no atan2/asin in Mosaic): |wrap(az - azc)| <= azh + m + asin(rho)
+#   <=>  cos(az - azc) >= cos(azh + m + asin(rho))         [both sides < pi]
+#   <=>  relc . u  >=  dist * (CA * sqrt(1 - rho^2) - SA * rho)
+# with u = (cos azc, sin azc), CA = cos(azh + m), SA = sin(azh + m) static
+# per tile and rho = r_box / max(dist, r_box). Division-free except rho, so
+# dist == 0 cannot NaN. Float rounding differs from the atan2 formulation
+# only inside an ulp-thin shell around the decision boundary, which the
+# 0.02 rad conservative margin dwarfs — so the no-cull bit-parity gate
+# (bench.py) holds for either backend.
+# ---------------------------------------------------------------------------
+
+_CULL_MARGIN = 0.02
+
+
+@functools.lru_cache(maxsize=4)
+def _cull_planes(sim_cfg: SimConfig, n_sectors: int):
+    """Static (rows, 128) f32 planes for the cull kernel. Rows = (cam,
+    sector) tiles padded to a multiple of 8 sublanes; lanes = slot index
+    padded 64 -> 128. Pad rows/lanes are killed by a huge camera offset."""
+    _, az_center, az_half, origins, _ = _static_tables(sim_cfg, n_sectors)
+    n_tiles = 4 * n_sectors
+    R = max(8, ((n_tiles + 7) // 8) * 8)
+    S = scene_lib.NUM_SLOTS
+
+    def rowplane(per_tile, pad):
+        a = np.full((R,), pad, np.float32)
+        a[:n_tiles] = per_tile.reshape(-1)
+        return np.broadcast_to(a[:, None], (R, LANES)).copy()
+
+    def laneplane(per_slot, pad):
+        a = np.full((LANES,), pad, np.float32)
+        a[:S] = per_slot
+        return np.broadcast_to(a[None, :], (R, LANES)).copy()
+
+    cam_of_tile = np.repeat(np.arange(4), n_sectors)
+    planes = np.stack([
+        laneplane(scene_lib.SLOT_XY[:, 0].astype(np.float32), 1e9),
+        laneplane(scene_lib.SLOT_XY[:, 1].astype(np.float32), 1e9),
+        rowplane(origins[cam_of_tile, 0], 1e9),
+        rowplane(origins[cam_of_tile, 1], 1e9),
+        rowplane(np.cos(az_center.astype(np.float64)).astype(np.float32), 0.0),
+        rowplane(np.sin(az_center.astype(np.float64)).astype(np.float32), 0.0),
+        rowplane(np.cos(az_half.astype(np.float64) + _CULL_MARGIN)
+                 .astype(np.float32), 1.0),
+        rowplane(np.sin(az_half.astype(np.float64) + _CULL_MARGIN)
+                 .astype(np.float32), 0.0),
+    ])  # (8, R, LANES)
+    return planes, R, n_tiles
+
+
+def _make_cull_kernel(n_boxes: int, r_box: float):
+    r2 = r_box * r_box
+    INF = float("inf")
+
+    def kernel(ego_ref, npc_ref, planes_ref, idx_ref, d2_ref):
+        ex = ego_ref[0, 0, 0]
+        ey = ego_ref[0, 0, 1]
+        c = ego_ref[0, 0, 2]
+        s = ego_ref[0, 0, 3]
+        valid = npc_ref[0, 0:1, :]  # (1, 128) 1.0/0.0, broadcasts over rows
+
+        sxv = planes_ref[0]
+        syv = planes_ref[1]
+        cxv = planes_ref[2]
+        cyv = planes_ref[3]
+        uxv = planes_ref[4]
+        uyv = planes_ref[5]
+        cav = planes_ref[6]
+        sav = planes_ref[7]
+
+        rx = sxv - ex
+        ry = syv - ey
+        relv_x = rx * c + ry * s  # R(-yaw)
+        relv_y = -rx * s + ry * c
+        relc_x = relv_x - cxv
+        relc_y = relv_y - cyv
+        d2 = relc_x * relc_x + relc_y * relc_y
+        dist = jnp.sqrt(d2)
+        dot = relc_x * uxv + relc_y * uyv
+        rho = r_box / jnp.maximum(dist, r_box)
+        cosa = cav * jnp.sqrt(jnp.maximum(1.0 - rho * rho, 0.0)) - sav * rho
+        vis = ((valid > 0.0) & ((dot >= dist * cosa) | (d2 <= r2))
+               & (d2 < 45.0 ** 2))
+        d2s = jnp.where(vis, d2, INF)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, d2s.shape, 1)
+        idx_out = jnp.zeros(d2s.shape, jnp.int32)
+        d2_out = jnp.full(d2s.shape, INF, jnp.float32)
+        for k in range(n_boxes):
+            m = jnp.min(d2s, axis=1, keepdims=True)  # (R, 1)
+            pick = jnp.min(jnp.where(d2s == m, lane, LANES), axis=1,
+                           keepdims=True)  # lowest index among ties, as argmin
+            col_k = lane == k
+            idx_out = jnp.where(col_k, pick, idx_out)
+            d2_out = jnp.where(col_k, m, d2_out)
+            d2s = jnp.where(lane == pick, INF, d2s)
+        idx_ref[0] = idx_out
+        d2_ref[0] = d2_out
+
+    return kernel
+
+
+def _cull_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
+                 n_boxes: int, n_sectors: int, interpret: bool):
+    """Returns (top_idx (E, 4, sec, K) i32, sel_d2 (E, 4, sec, K) f32 with
+    +inf marking slots beyond the visible count) — the same selection the
+    XLA branch makes, in one kernel launch."""
+    E = ego_x.shape[0]
+    planes_np, R, n_tiles = _cull_planes(sim_cfg, n_sectors)
+    r_box = float(np.hypot(sim_cfg.npc_half_length, sim_cfg.npc_half_width))
+
+    ego = jnp.stack([ego_x, ego_y, jnp.cos(ego_yaw), jnp.sin(ego_yaw)],
+                    axis=-1)[:, None, :]  # (E, 1, 4)
+    npc = jnp.zeros((E, 8, LANES), jnp.float32)
+    npc = npc.at[:, 0, :scene_lib.NUM_SLOTS].set(
+        scene.npc_valid.astype(jnp.float32))
+
+    idx, d2 = pl.pallas_call(
+        _make_cull_kernel(n_boxes, r_box),
+        grid=(E,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 4), lambda e: (e, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, LANES), lambda e: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, R, LANES), lambda e: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, R, LANES), lambda e: (e, 0, 0)),) * 2,
+        out_shape=(jax.ShapeDtypeStruct((E, R, LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((E, R, LANES), jnp.float32)),
+        interpret=interpret,
+    )(ego, npc, jnp.asarray(planes_np))
+    top_idx = idx[:, :n_tiles, :n_boxes].reshape(E, 4, n_sectors, n_boxes)
+    sel_d2 = d2[:, :n_tiles, :n_boxes].reshape(E, 4, n_sectors, n_boxes)
+    return top_idx, sel_d2
+
+
 @functools.partial(jax.jit, static_argnames=("sim_cfg", "n_boxes", "interpret",
-                                              "n_sectors", "bands", "packed"))
+                                              "n_sectors", "bands", "packed",
+                                              "cull"))
 def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
                           weather=None, n_boxes: int = 3,
                           interpret: bool = False, n_sectors: int = SECTORS,
-                          bands: int = 2, packed: bool = True):
+                          bands: int = 2, packed: bool = True,
+                          cull: str = "xla"):
     """Batched fused render. ego_* are (E,); scene is a batched SceneState.
 
     n_boxes: candidate boxes kept per (camera, sector) tile — the culling
     keeps the nearest n_boxes that can geometrically intersect the sector
     (>= NUM_SLOTS disables culling: exact).
+
+    cull: "pallas" (one fused selection kernel) or "xla" (the plain-XLA
+    selection it replaced; kept for the hardware A/B and as the tie-break
+    semantics reference). Both make the same selection up to float ulps at
+    the conservative test's decision boundary.
 
     Returns dict rgb (E, 4, H, W, 3), depth (E, 4, H, W), sem (E, 4, H, W).
     """
@@ -367,51 +523,61 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
     env_scalars = env_scalars.at[:, 7:10].set(wrow[:, 1:4])
 
     # ---- cull per (env, camera, sector): exact conservative test ----
-    # box position in the vehicle frame, relative to each camera origin
-    c_yaw, s_yaw = jnp.cos(ego_yaw), jnp.sin(ego_yaw)  # (E,)
-    rx = slot_xy[None, :, 0] - ego_x[:, None]  # (E, S)
-    ry = slot_xy[None, :, 1] - ego_y[:, None]
-    relv_x = rx * c_yaw[:, None] + ry * s_yaw[:, None]  # R(-yaw)
-    relv_y = -rx * s_yaw[:, None] + ry * c_yaw[:, None]
-    cam_xy = jnp.asarray(origins[:, :2])  # (4, 2) vehicle frame
-    relc_x = relv_x[:, None, :] - cam_xy[None, :, 0, None]  # (E, 4, S)
-    relc_y = relv_y[:, None, :] - cam_xy[None, :, 1, None]
-    d2 = relc_x * relc_x + relc_y * relc_y
-    dist = jnp.sqrt(d2)
-    az_box = jnp.arctan2(relc_y, relc_x)  # (E, 4, S) vehicle frame
     r_box = float(np.hypot(sim_cfg.npc_half_length, sim_cfg.npc_half_width))
-    ang_half = jnp.arcsin(jnp.clip(r_box / jnp.maximum(dist, r_box), 0.0, 1.0))
-    inside = dist <= r_box  # camera inside the box radius: always keep
+    if cull == "pallas":
+        # one fused selection kernel (see _cull_pallas above)
+        top_idx, sel_d2 = _cull_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg,
+                                       n_boxes, n_sectors, interpret)
+        sel_valid = jnp.isfinite(sel_d2)  # (E, 4, sec, K)
+        sel_dist = jnp.sqrt(sel_d2)  # +inf past the visible count (unused)
+    else:
+        # plain-XLA selection: box position in the vehicle frame, relative
+        # to each camera origin
+        c_yaw, s_yaw = jnp.cos(ego_yaw), jnp.sin(ego_yaw)  # (E,)
+        rx = slot_xy[None, :, 0] - ego_x[:, None]  # (E, S)
+        ry = slot_xy[None, :, 1] - ego_y[:, None]
+        relv_x = rx * c_yaw[:, None] + ry * s_yaw[:, None]  # R(-yaw)
+        relv_y = -rx * s_yaw[:, None] + ry * c_yaw[:, None]
+        cam_xy = jnp.asarray(origins[:, :2])  # (4, 2) vehicle frame
+        relc_x = relv_x[:, None, :] - cam_xy[None, :, 0, None]  # (E, 4, S)
+        relc_y = relv_y[:, None, :] - cam_xy[None, :, 1, None]
+        d2 = relc_x * relc_x + relc_y * relc_y
+        dist = jnp.sqrt(d2)
+        az_box = jnp.arctan2(relc_y, relc_x)  # (E, 4, S) vehicle frame
+        ang_half = jnp.arcsin(
+            jnp.clip(r_box / jnp.maximum(dist, r_box), 0.0, 1.0))
+        inside = dist <= r_box  # camera inside the box radius: always keep
 
-    centers = jnp.asarray(az_center)  # (4, S_sec)
-    halves = jnp.asarray(az_half)
-    dev = az_box[:, :, None, :] - centers[None, :, :, None]  # (E,4,sec,S)
-    dev = (dev + np.pi) % (2.0 * np.pi) - np.pi
-    overlap = jnp.abs(dev) <= (halves[None, :, :, None]
-                               + ang_half[:, :, None, :] + 0.02)
-    vis = (scene.npc_valid[:, None, None, :]
-           & (overlap | inside[:, :, None, :])
-           & (d2[:, :, None, :] < 45.0 ** 2))
-    d2s = jnp.where(vis, d2[:, :, None, :], jnp.inf)  # (E, 4, sec, S)
-    # K nearest by repeated argmin-extract: K cheap reduces instead of a
-    # full lax.top_k sort (measured 3.8 ms/frame-batch on v5e, ~40% of the
-    # whole render)
-    slot_iota = jnp.arange(slot_xy.shape[0], dtype=jnp.int32)
-    picks = []
-    for _ in range(n_boxes):
-        i = jnp.argmin(d2s, axis=-1).astype(jnp.int32)  # (E, 4, sec)
-        picks.append(i)
-        d2s = jnp.where(slot_iota == i[..., None], jnp.inf, d2s)
-    top_idx = jnp.stack(picks, axis=-1)  # (E, 4, sec, K)
+        centers = jnp.asarray(az_center)  # (4, S_sec)
+        halves = jnp.asarray(az_half)
+        dev = az_box[:, :, None, :] - centers[None, :, :, None]  # (E,4,sec,S)
+        dev = (dev + np.pi) % (2.0 * np.pi) - np.pi
+        overlap = jnp.abs(dev) <= (halves[None, :, :, None]
+                                   + ang_half[:, :, None, :] + _CULL_MARGIN)
+        vis = (scene.npc_valid[:, None, None, :]
+               & (overlap | inside[:, :, None, :])
+               & (d2[:, :, None, :] < 45.0 ** 2))
+        d2s = jnp.where(vis, d2[:, :, None, :], jnp.inf)  # (E, 4, sec, S)
+        # K nearest by repeated argmin-extract: K cheap reduces instead of
+        # a full lax.top_k sort
+        slot_iota = jnp.arange(slot_xy.shape[0], dtype=jnp.int32)
+        picks = []
+        for _ in range(n_boxes):
+            i = jnp.argmin(d2s, axis=-1).astype(jnp.int32)  # (E, 4, sec)
+            picks.append(i)
+            d2s = jnp.where(slot_iota == i[..., None], jnp.inf, d2s)
+        top_idx = jnp.stack(picks, axis=-1)  # (E, 4, sec, K)
+        sel_valid = jnp.take_along_axis(vis, top_idx, axis=-1)
+        sel_dist = jnp.take_along_axis(
+            jnp.broadcast_to(dist[:, :, None, :], vis.shape), top_idx, axis=-1)
     palette = jnp.asarray(cam_lib._vehicle_palette())
 
-    def pack_boxes(idx, vis_row, yaw_row):
-        # idx (4, sec, K); vis/yaw rows (4, sec, S)
+    def pack_boxes(idx, valid_row, yaw_row):
+        # idx/valid rows (4, sec, K); yaw rows (4, sec, S)
         sel_xy = slot_xy[idx]
         sel_yaw = jnp.take_along_axis(yaw_row, idx, axis=-1)
-        sel_valid = jnp.take_along_axis(vis_row, idx, axis=-1)
         # color code doubles as the valid flag: palette index, -1 = invalid
-        code = jnp.where(sel_valid, idx.astype(jnp.float32), -1.0)
+        code = jnp.where(valid_row, idx.astype(jnp.float32), -1.0)
         return jnp.concatenate([
             sel_xy,
             jnp.cos(sel_yaw)[..., None], jnp.sin(sel_yaw)[..., None],
@@ -421,11 +587,8 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
 
     S = slot_xy.shape[0]
     boxes = jax.vmap(pack_boxes)(
-        top_idx, vis,
+        top_idx, sel_valid,
         jnp.broadcast_to(scene.npc_yaw[:, None, None, :], (E, 4, n_sectors, S)))
-    # per-(env, tile) surviving-candidate count, for the kernel's box-loop
-    # skip; candidates are distance-ordered so valid ones form a prefix
-    sel_valid = jnp.take_along_axis(vis, top_idx, axis=-1)  # (E, 4, sec, K)
 
     # ---- elevation bands (VERDICT r2 item 5) ----
     # Split each tile into B elevation bands when the 4-bit-per-band count
@@ -454,9 +617,9 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
     if n_bands > 1:
         # candidate visible in band iff its horizontal-distance interval
         # overlaps the band's static window; per-band prefix bound packed
-        # 4 bits per band into one i32 per (env, tile)
-        sel_dist = jnp.take_along_axis(
-            jnp.broadcast_to(dist[:, :, None, :], vis.shape), top_idx, axis=-1)
+        # 4 bits per band into one i32 per (env, tile). sel_dist is +inf
+        # past the visible count on the pallas-cull path — band_vis is
+        # False there either way (sel_valid gates it).
         blo = jnp.asarray(row_lo.reshape(4, n_sectors, n_bands))
         bhi = jnp.asarray(row_hi.reshape(4, n_sectors, n_bands))
         band_vis = (sel_valid[..., None]

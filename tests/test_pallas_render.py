@@ -134,6 +134,64 @@ def test_elevation_bands_are_exact():
                                   np.asarray(flat["rgb"]))
 
 
+def test_cull_backends_agree():
+    """The fused Pallas cull (one selection kernel) must reproduce the
+    plain-XLA selection: identical rendered images at the LOD default and
+    with culling disabled (K=64). The two paths share the same conservative
+    test and tie-break semantics; only ulp-level rounding at the decision
+    boundary may differ, which fixed test scenes sit nowhere near."""
+    st = sample_envs(2)
+    weather = jnp.array([0, 3], jnp.int32)
+    for k in (3, 64):
+        a = render_cameras_pallas(st.ego.x, st.ego.y, st.ego.yaw, st.scene,
+                                  SIM, weather, n_boxes=k, interpret=True,
+                                  cull="pallas")
+        b = render_cameras_pallas(st.ego.x, st.ego.y, st.ego.yaw, st.scene,
+                                  SIM, weather, n_boxes=k, interpret=True,
+                                  cull="xla")
+        for f in ("rgb", "depth", "sem"):
+            np.testing.assert_array_equal(
+                np.asarray(a[f]), np.asarray(b[f]),
+                err_msg=f"cull backends diverge on {f} at K={k}")
+
+
+def test_cull_backends_agree_mid_maneuver_banded():
+    """Same equivalence at mid-maneuver poses (near-field boxes stress the
+    cull hardest) and with elevation bands on (bands consume the cull's
+    per-candidate distances)."""
+    from e2e_parking_carla_tpu.config import EvalConfig
+    from e2e_parking_carla_tpu.sim.env import step_env
+    from e2e_parking_carla_tpu.sim.expert import ExpertState, expert_policy
+
+    sim = SimConfig(cam_width=128, cam_height=128)
+    st = sample_envs(2)
+    est = ExpertState.init((2,))
+    ev = EvalConfig()
+
+    @jax.jit
+    def advance(s, e):
+        def body(carry, _):
+            s_, e_ = carry
+            ctrl, e_ = jax.vmap(lambda a, b, c: expert_policy(a, b, c, sim))(
+                s_.ego, s_.scene, e_)
+            s2 = jax.vmap(lambda x, c: step_env(x, c, sim, ev))(s_, ctrl)
+            return (s2, e_), None
+        (s_out, e_out), _ = jax.lax.scan(body, (s, e), None, length=300)
+        return s_out, e_out
+
+    st, est = advance(st, est)
+    a = render_cameras_pallas(st.ego.x, st.ego.y, st.ego.yaw, st.scene,
+                              sim, n_boxes=3, interpret=True, bands=8,
+                              cull="pallas")
+    b = render_cameras_pallas(st.ego.x, st.ego.y, st.ego.yaw, st.scene,
+                              sim, n_boxes=3, interpret=True, bands=8,
+                              cull="xla")
+    for f in ("rgb", "depth", "sem"):
+        np.testing.assert_array_equal(
+            np.asarray(a[f]), np.asarray(b[f]),
+            err_msg=f"cull backends diverge on {f} mid-maneuver")
+
+
 def test_packed_and_unpacked_outputs_agree():
     """The packed int32 RGB+sem output and the round-2 five-plane layout
     must agree: sem and depth exactly, color within the 8-bit quantization
