@@ -473,7 +473,7 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
                           weather=None, n_boxes: int = 3,
                           interpret: bool = False, n_sectors: int = SECTORS,
                           bands: int = 2, packed: bool = True,
-                          cull: str = "xla"):
+                          cull: str = "pallas"):
     """Batched fused render. ego_* are (E,); scene is a batched SceneState.
 
     n_boxes: candidate boxes kept per (camera, sector) tile — the culling
