@@ -144,6 +144,39 @@ def check_render_correctness(n_envs: int = 4) -> None:
         raise AssertionError(
             f"cull LOD error out of budget: {frac:.2%} of pixels differ")
 
+    # The cull budget must also hold MID-MANEUVER, not just at start poses:
+    # the training/eval pipelines render every visited state, and the ego is
+    # closest to neighbor boxes (worst case for top-K selection) deep into
+    # the reverse-in maneuver. Step the expert 150 frames (5 s) first.
+    from e2e_parking_carla_tpu.config import EvalConfig
+    from e2e_parking_carla_tpu.sim.env import step_env
+    from e2e_parking_carla_tpu.sim.expert import ExpertState, expert_policy
+
+    eval_cfg = EvalConfig()
+    est = ExpertState.init((n_envs,))
+
+    def body(carry, _):
+        s, e = carry
+        ctrl, e = jax.vmap(lambda a, b, c: expert_policy(a, b, c, sim_cfg))(
+            s.ego, s.scene, e)
+        s = jax.vmap(lambda st, c: step_env(st, c, sim_cfg, eval_cfg))(s, ctrl)
+        return (s, e), None
+
+    (mid, _), _ = jax.jit(lambda c: jax.lax.scan(body, c, None, length=150))(
+        (env, est))
+    ref_mid = jax.jit(jax.vmap(
+        lambda x, y, yaw, sc: render_cameras(x, y, yaw, sc, sim_cfg)
+    ))(mid.ego.x, mid.ego.y, mid.ego.yaw, mid.scene)
+    culled_mid = jax.jit(lambda: render_cameras_pallas(
+        mid.ego.x, mid.ego.y, mid.ego.yaw, mid.scene, sim_cfg))()
+    frac_mid = float((np.abs(np.asarray(culled_mid["rgb"], np.float32)
+                             - np.asarray(ref_mid["rgb"], np.float32)).max(-1)
+                      > 1e-3).mean())
+    if frac_mid > 0.02:
+        raise AssertionError(
+            f"cull LOD error out of budget mid-maneuver: "
+            f"{frac_mid:.2%} of pixels differ")
+
     # (3) the same two checks at MID-MANEUVER poses: step the expert ~15 s
     # so the ego sits inside the lot between parked rows (the poses training
     # batches and eval rollouts actually render), where near-field boxes
