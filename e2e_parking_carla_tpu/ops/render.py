@@ -63,13 +63,14 @@ def _static_tables(sim_cfg: SimConfig, n_sectors: int = SECTORS):
         a = a.reshape(N, H, n_sectors, Ws).transpose(0, 2, 1, 3)
         return np.ascontiguousarray(a).reshape(-1, LANES).astype(np.float32)
 
-    # per-pixel camera origin (constant within a camera)
+    # camera origins are constant per camera (the rig is rigid): they enter
+    # the kernel as per-tile SMEM scalars, not per-pixel planes — the world
+    # rotation owx = ox*c - oy*s + ex is then one scalar op per tile instead
+    # of two 4 B/px plane reads + a per-pixel vector rotation (bit-identical:
+    # same IEEE ops on the same values, matching render_cameras' per-camera
+    # scalar origin math)
     org = tab["origins"]
-    ox = np.broadcast_to(org[:, 0, None, None], (N, H, W))
-    oy = np.broadcast_to(org[:, 1, None, None], (N, H, W))
     planes = {k: sectorize(tab[k]) for k in ("dx", "dy", "tg", "elev", "zn", "zf")}
-    planes["ox"] = sectorize(ox)
-    planes["oy"] = sectorize(oy)
 
     # exact horizontal azimuth span of each sector (vehicle frame, radians):
     # circular center + max deviation over the sector's pixels
@@ -138,9 +139,8 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, n_bands: int = 1,
     SKY = cam_lib.SKY_DEPTH
     eps = 1e-8
 
-    def kernel(env_ref, boxes_ref, pal_ref, kmax_ref, skyband_ref,
-               dx_ref, dy_ref, ox_ref,
-               oy_ref, tg_ref, elev_ref, zn_ref, zf_ref,
+    def kernel(env_ref, boxes_ref, pal_ref, kmax_ref, skyband_ref, org_ref,
+               dx_ref, dy_ref, tg_ref, elev_ref, zn_ref, zf_ref,
                *out_refs):
         tb = pl.program_id(0)
         t = tb // n_bands if n_bands > 1 else tb
@@ -162,8 +162,11 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, n_bands: int = 1,
         dyv = dy_ref[:]
         dwx = dxv * c - dyv * s
         dwy = dxv * s + dyv * c
-        owx = ox_ref[:] * c - oy_ref[:] * s + ex
-        owy = ox_ref[:] * s + oy_ref[:] * c + ey
+        # scalar world-frame camera origin (constant over the tile)
+        ox_t = org_ref[2 * t]
+        oy_t = org_ref[2 * t + 1]
+        owx = ox_t * c - oy_t * s + ex
+        owy = ox_t * s + oy_t * c + ey
 
         # ---- ground plane: hit distance is a static table ----
         tg = tg_ref[:]
@@ -504,7 +507,11 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
     planes_np, az_center, az_half, origins, band_tabs = _static_tables(
         sim_cfg, n_sectors)
     planes = tuple(jnp.asarray(planes_np[k])
-                   for k in ("dx", "dy", "ox", "oy", "tg", "elev", "zn", "zf"))
+                   for k in ("dx", "dy", "tg", "elev", "zn", "zf"))
+    # per-tile (ox, oy) vehicle-frame camera origin, flat for SMEM
+    cam_of_tile = np.repeat(np.arange(4), n_sectors)
+    org_tile = jnp.asarray(
+        origins[cam_of_tile][:, :2].reshape(-1).astype(np.float32))
 
     if weather is None:
         weather = jnp.zeros((E,), jnp.int32)
@@ -668,13 +675,14 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
             pl.BlockSpec((1, 1, n_tiles), lambda t, e: (e, 0, 0),
                          memory_space=pltpu.SMEM),  # per-tile/band counts
             pl.BlockSpec(memory_space=pltpu.SMEM),  # static all-sky band flag
-            *([plane_spec] * 8),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # per-tile camera origins
+            *([plane_spec] * 6),
         ],
         out_specs=(out_spec,) * len(out_shape),
         out_shape=out_shape,
         interpret=interpret,
     )(env_scalars[:, None, :], boxes.reshape(E, 1, -1),
-      palette.reshape(-1), kmax.reshape(E, 1, -1), skyband, *planes)
+      palette.reshape(-1), kmax.reshape(E, 1, -1), skyband, org_tile, *planes)
 
     def unflatten(a):
         # (E, rows, LANES) laid out (cam, sector, row, col-in-sector)

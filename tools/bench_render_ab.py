@@ -36,7 +36,7 @@ def main():
         jax.random.split(jax.random.PRNGKey(1), n_envs), targets, xs, ys, yaws)
     est = ExpertState.init((n_envs,))
 
-    def make_run(bands, packed, cull):
+    def make_run(bands, packed, cull, sectors=8):
         def body(carry, _):
             s, e, acc = carry
             ctrl, e = jax.vmap(lambda a, b, c: expert_policy(a, b, c, sim_cfg))(
@@ -44,7 +44,7 @@ def main():
             s = jax.vmap(lambda st, c: step_env(st, c, sim_cfg, eval_cfg))(s, ctrl)
             cams = render_cameras_pallas(
                 s.ego.x, s.ego.y, s.ego.yaw, s.scene, sim_cfg,
-                bands=bands, packed=packed, cull=cull)
+                bands=bands, packed=packed, cull=cull, n_sectors=sectors)
             sink = jnp.sum(cams["rgb"]) + jnp.sum(cams["depth"])
             return (s, e, acc + sink), None
 
@@ -55,11 +55,20 @@ def main():
 
         return run
 
-    for cull, bands, packed in (
-            ("pallas", 2, True), ("pallas", 0, True), ("pallas", 4, True),
-            ("pallas", 8, True), ("pallas", 2, False), ("pallas", 0, False),
-            ("xla", 2, True), ("xla", 0, True), ("xla", 2, False)):
-        run = make_run(bands, packed, cull)
+    import os
+    if os.environ.get("AB_SECTORS"):
+        # sector-count sweep: azimuth-cull granularity vs grid-cell count
+        # (the (bands, packed, cull) winner is fixed at the shipped default)
+        configs = [("pallas", 2, True, sec) for sec in (4, 8, 16)] + [
+            ("pallas", 4, True, 4)]
+    else:
+        configs = [
+            ("pallas", 2, True, 8), ("pallas", 0, True, 8),
+            ("pallas", 4, True, 8), ("pallas", 8, True, 8),
+            ("pallas", 2, False, 8), ("pallas", 0, False, 8),
+            ("xla", 2, True, 8), ("xla", 0, True, 8), ("xla", 2, False, 8)]
+    for cull, bands, packed, sectors in configs:
+        run = make_run(bands, packed, cull, sectors)
         carry = (states, est, jnp.float32(0.0))
         carry = run(carry, n_steps)                # compile + warm
         float(carry[2])                            # fence
@@ -67,7 +76,7 @@ def main():
         out = run(carry, n_steps)                  # warmed carry: fresh inputs
         sink = float(out[2])                       # host fetch = fence
         dt = time.perf_counter() - t0
-        print(f"cull={cull} bands={bands} packed={int(packed)}: "
+        print(f"cull={cull} bands={bands} packed={int(packed)} sec={sectors}: "
               f"{n_envs * n_steps / dt:,.0f} env steps/s "
               f"(sink {sink:.3e})", flush=True)
 
