@@ -144,54 +144,20 @@ def check_render_correctness(n_envs: int = 4) -> None:
         raise AssertionError(
             f"cull LOD error out of budget: {frac:.2%} of pixels differ")
 
-    # The cull budget must also hold MID-MANEUVER, not just at start poses:
-    # the training/eval pipelines render every visited state, and the ego is
-    # closest to neighbor boxes (worst case for top-K selection) deep into
-    # the reverse-in maneuver. Step the expert 150 frames (5 s) first.
-    from e2e_parking_carla_tpu.config import EvalConfig
-    from e2e_parking_carla_tpu.sim.env import step_env
-    from e2e_parking_carla_tpu.sim.expert import ExpertState, expert_policy
-
-    eval_cfg = EvalConfig()
-    est = ExpertState.init((n_envs,))
-
-    def body(carry, _):
-        s, e = carry
-        ctrl, e = jax.vmap(lambda a, b, c: expert_policy(a, b, c, sim_cfg))(
-            s.ego, s.scene, e)
-        s = jax.vmap(lambda st, c: step_env(st, c, sim_cfg, eval_cfg))(s, ctrl)
-        return (s, e), None
-
-    (mid, _), _ = jax.jit(lambda c: jax.lax.scan(body, c, None, length=150))(
-        (env, est))
-    ref_mid = jax.jit(jax.vmap(
-        lambda x, y, yaw, sc: render_cameras(x, y, yaw, sc, sim_cfg)
-    ))(mid.ego.x, mid.ego.y, mid.ego.yaw, mid.scene)
-    culled_mid = jax.jit(lambda: render_cameras_pallas(
-        mid.ego.x, mid.ego.y, mid.ego.yaw, mid.scene, sim_cfg))()
-    frac_mid = float((np.abs(np.asarray(culled_mid["rgb"], np.float32)
-                             - np.asarray(ref_mid["rgb"], np.float32)).max(-1)
-                      > 1e-3).mean())
-    if frac_mid > 0.02:
-        raise AssertionError(
-            f"cull LOD error out of budget mid-maneuver: "
-            f"{frac_mid:.2%} of pixels differ")
-
-    # (3) the same two checks at MID-MANEUVER poses: step the expert ~15 s
-    # so the ego sits inside the lot between parked rows (the poses training
-    # batches and eval rollouts actually render), where near-field boxes
-    # stress the sector culling hardest (advisor round-2 finding: start-pose
-    # checks alone never exercise these).
+    # (3) the same two checks at MID-MANEUVER poses: the training/eval
+    # pipelines render every visited state, and near-field boxes stress the
+    # sector culling hardest when the ego sits between parked rows (advisor
+    # round-2 finding: start-pose checks alone never exercise these). Two
+    # depths: 150 frames (5 s, approach) and 450 frames (15 s, deep into the
+    # reverse-in maneuver — closest approach to neighbor boxes).
     from e2e_parking_carla_tpu.config import EvalConfig
     from e2e_parking_carla_tpu.sim.env import step_env
     from e2e_parking_carla_tpu.sim.expert import ExpertState, expert_policy
 
     eval_cfg = EvalConfig()
 
-    @jax.jit
-    def advance(env):
-        est = ExpertState.init((n_envs,))
-
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def advance(carry, n_frames):
         def body(carry, _):
             s, e = carry
             ctrl, e = jax.vmap(
@@ -199,32 +165,36 @@ def check_render_correctness(n_envs: int = 4) -> None:
             s = jax.vmap(lambda st, c: step_env(st, c, sim_cfg, eval_cfg))(s, ctrl)
             return (s, e), None
 
-        (env, _), _ = jax.lax.scan(body, (env, est), None, length=450)
-        return env
+        return jax.lax.scan(body, carry, None, length=n_frames)[0]
 
-    mid = advance(env)
-    ref_m = jax.jit(jax.vmap(
-        lambda x, y, yaw, sc: render_cameras(x, y, yaw, sc, sim_cfg)
-    ))(mid.ego.x, mid.ego.y, mid.ego.yaw, mid.scene)
-    full_m = jax.jit(lambda: render_cameras_pallas(
-        mid.ego.x, mid.ego.y, mid.ego.yaw, mid.scene, sim_cfg,
-        n_boxes=sim_cfg.max_static_vehicles))()
-    for name, tol in (("rgb", 1e-5), ("depth", 1e-4)):
-        err = np.abs(np.asarray(full_m[name], np.float32)
-                     - np.asarray(ref_m[name], np.float32)).max()
-        if err > tol:
+    carry = (env, ExpertState.init((n_envs,)))
+    frames_done = 0
+    for frames in (150, 450):
+        carry = advance(carry, frames - frames_done)
+        frames_done = frames
+        mid = carry[0]
+        ref_m = jax.jit(jax.vmap(
+            lambda x, y, yaw, sc: render_cameras(x, y, yaw, sc, sim_cfg)
+        ))(mid.ego.x, mid.ego.y, mid.ego.yaw, mid.scene)
+        full_m = jax.jit(lambda: render_cameras_pallas(
+            mid.ego.x, mid.ego.y, mid.ego.yaw, mid.scene, sim_cfg,
+            n_boxes=sim_cfg.max_static_vehicles))()
+        for name, tol in (("rgb", 1e-5), ("depth", 1e-4)):
+            err = np.abs(np.asarray(full_m[name], np.float32)
+                         - np.asarray(ref_m[name], np.float32)).max()
+            if err > tol:
+                raise AssertionError(
+                    f"Pallas renderer (no cull, {frames}-frame mid-maneuver) "
+                    f"diverges: {name} max|diff|={err:.3e} (tol {tol})")
+        culled_m = jax.jit(lambda: render_cameras_pallas(
+            mid.ego.x, mid.ego.y, mid.ego.yaw, mid.scene, sim_cfg))()
+        frac_m = float((np.abs(np.asarray(culled_m["rgb"], np.float32)
+                               - np.asarray(ref_m["rgb"], np.float32)).max(-1)
+                        > 1e-3).mean())
+        if frac_m > 0.02:
             raise AssertionError(
-                f"Pallas renderer (no cull, mid-maneuver) diverges: "
-                f"{name} max|diff|={err:.3e} (tol {tol})")
-    culled_m = jax.jit(lambda: render_cameras_pallas(
-        mid.ego.x, mid.ego.y, mid.ego.yaw, mid.scene, sim_cfg))()
-    frac_m = float((np.abs(np.asarray(culled_m["rgb"], np.float32)
-                           - np.asarray(ref_m["rgb"], np.float32)).max(-1)
-                    > 1e-3).mean())
-    if frac_m > 0.02:
-        raise AssertionError(
-            f"cull LOD error out of budget at mid-maneuver poses: "
-            f"{frac_m:.2%} of pixels differ")
+                f"cull LOD error out of budget at {frames}-frame mid-maneuver "
+                f"poses: {frac_m:.2%} of pixels differ")
 
 
 def main():

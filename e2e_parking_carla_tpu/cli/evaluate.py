@@ -50,6 +50,9 @@ def parse_args(argv=None):
     p.add_argument("--live_gif", default=None,
                    help="with --show_eva_imgs: write this GIF instead of "
                         "opening a window")
+    p.add_argument("--data_shard", action="store_true",
+                   help="shard the attempt fleet over all attached devices "
+                        "(data axis, shard_map): the multi-chip protocol path")
     p.add_argument("--smoke", action="store_true")
     return p.parse_args(argv)
 
@@ -169,7 +172,12 @@ def main(argv=None):
         print(f"live attempt finished: {names.get(status, status)}")
         return 0
 
-    ev = ClosedLoopEvaluator(model, variables, cfg)
+    mesh = None
+    if args.data_shard:
+        from e2e_parking_carla_tpu.parallel import make_mesh
+        mesh = make_mesh(data_axis=len(jax.devices()), model_axis=1)
+        print(f"sharding the protocol over {len(jax.devices())} devices")
+    ev = ClosedLoopEvaluator(model, variables, cfg, mesh=mesh)
     overall, _ = ev.run(out_dir=args.eva_result_path, epochs=cfg.eval.epochs)
     print("overall: " + " ".join(f"{k}={v:.2f}" for k, v in overall.items()))
     return 0

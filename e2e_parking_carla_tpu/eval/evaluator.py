@@ -40,16 +40,43 @@ class ClosedLoopEvaluator:
     """Evaluate a trained policy over the reference protocol.
 
     model: a ParkingModel; variables: its flax variables dict.
+
+    mesh: optional `jax.sharding.Mesh` — shards each epoch's attempt fleet
+    over the mesh's "data" axis via `shard_map` (SURVEY §2.7): every device
+    rolls out its slice of the 96 attempts with replicated weights, no
+    cross-device communication on the hot loop. The per-device body is the
+    identical single-chip program (including the fused Pallas renderer,
+    which runs unmodified under shard_map's per-device view), so one chip
+    and a pod produce the same protocol bit-for-bit.
     """
 
-    def __init__(self, model, variables, cfg: Config):
+    def __init__(self, model, variables, cfg: Config, mesh=None):
         self.model = model
-        self.variables = None if variables is None else jax.device_put(variables)
+        self.mesh = mesh
         self.cfg = cfg
+        self.variables = None
+        if variables is not None:
+            self.set_variables(variables)
         # variables are an explicit argument of the jitted rollout (not a
         # closure) so swapping weights — e.g. the in-training closed-loop
         # probe — reuses the compiled program
-        self._rollout = jax.jit(self._build_rollout())
+        rollout = self._build_rollout()
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            from jax import shard_map
+
+            from e2e_parking_carla_tpu.parallel.mesh import DATA_AXIS
+
+            # check_vma off: scan inits built from constants inside the body
+            # are unvarying while their carries vary over "data"; the
+            # varying-axis checker rejects that pairing even though the
+            # program is correct (per-env independent, no collectives)
+            rollout = shard_map(
+                rollout, mesh=mesh,
+                in_specs=(P(), P(DATA_AXIS)),
+                out_specs=(P(DATA_AXIS), P(None, DATA_AXIS)),
+                check_vma=False)
+        self._rollout = jax.jit(rollout)
 
     def set_variables(self, variables):
         # pin to device once: passing host arrays would re-upload the full
@@ -173,6 +200,11 @@ class ClosedLoopEvaluator:
         env = self.make_epoch_envs(seed)
         n = int(env.ego.x.shape[0])
         chunk = max(1, min(self.cfg.eval.env_chunk, n))
+        if self.mesh is not None:
+            # shard_map needs the leading dim divisible by the data axis
+            from e2e_parking_carla_tpu.parallel.mesh import DATA_AXIS
+            nd = self.mesh.shape[DATA_AXIS]
+            chunk = ((chunk + nd - 1) // nd) * nd
         finals, trajs = [], []
         for start in range(0, n, chunk):
             sub = jax.tree.map(lambda a: a[start:start + chunk], env)

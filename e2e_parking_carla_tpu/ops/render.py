@@ -126,12 +126,20 @@ def _line_intensity(px, py):
 
 
 def _make_kernel(sim_cfg: SimConfig, n_boxes: int, n_bands: int = 1,
-                 packed: bool = True):
+                 packed: bool = True, env_chunk: int = 1):
     """n_bands > 1: each (camera, sector) tile is split into `n_bands`
     elevation bands (contiguous tile-row blocks); kmax_ref then holds a
     packed 4-bit per-band candidate count and skyband_ref a static all-sky
     flag per (tile, band) — bands whose static z-slab window excludes every
-    candidate skip the box loop, all-sky bands skip the ground math too."""
+    candidate skip the box loop, all-sky bands skip the ground math too.
+
+    env_chunk > 1: one grid cell renders the band for `env_chunk`
+    consecutive envs in an in-kernel loop. The hardware attribution
+    (tools/profile_render.py) shows the per-grid-cell fixed cost (window
+    swaps, per-env SMEM DMAs, scalar setup) dominating the per-pixel VPU
+    math at chunk 1 — e.g. zeroing the whole 60-op slot-line chain moves
+    the bench < 0.3%; chunking amortizes that fixed cost across envs while
+    the static pixel planes stay resident in VMEM."""
     hl = float(sim_cfg.npc_half_length)
     hw = float(sim_cfg.npc_half_width)
     sl = float(sim_cfg.slot_half_length)
@@ -144,174 +152,198 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, n_bands: int = 1,
                *out_refs):
         tb = pl.program_id(0)
         t = tb // n_bands if n_bands > 1 else tb
-        # per-env SMEM operands are blocked by the env grid axis (window =
-        # one env's row): a full (E, .) SMEM window overflows the 1 MB SMEM
-        # at fleet sizes (E=1024 boxes alone is 2 MB)
-        ex = env_ref[0, 0, 0]
-        ey = env_ref[0, 0, 1]
-        c = env_ref[0, 0, 2]
-        s = env_ref[0, 0, 3]
-        tgx = env_ref[0, 0, 4]
-        tgy = env_ref[0, 0, 5]
-        bright = env_ref[0, 0, 6]
-        sky_r = env_ref[0, 0, 7]
-        sky_g = env_ref[0, 0, 8]
-        sky_b = env_ref[0, 0, 9]
-
+        # static pixel planes: read once per cell, reused for every env in
+        # the chunk
         dxv = dx_ref[:]
         dyv = dy_ref[:]
-        dwx = dxv * c - dyv * s
-        dwy = dxv * s + dyv * c
-        # scalar world-frame camera origin (constant over the tile)
-        ox_t = org_ref[2 * t]
-        oy_t = org_ref[2 * t + 1]
-        owx = ox_t * c - oy_t * s + ex
-        owy = ox_t * s + oy_t * c + ey
-
-        # ---- ground plane: hit distance is a static table ----
         tg = tg_ref[:]
-
-        # ---- box loop: nearest hit stays in VMEM ----
         n2 = zn_ref[:]
         f2 = zf_ref[:]
+        # scalar vehicle-frame camera origin (constant over the tile)
+        ox_t = org_ref[2 * t]
+        oy_t = org_ref[2 * t + 1]
+        sky_band_flag = skyband_ref[tb]
 
-        def body(k, carry):
-            t_best, vr, vg, vb = carry
-            base = t * (n_boxes * BOX_FIELDS) + k * BOX_FIELDS
-            cx = boxes_ref[0, 0, base + 0]
-            cy = boxes_ref[0, 0, base + 1]
-            cb = boxes_ref[0, 0, base + 2]
-            sb = boxes_ref[0, 0, base + 3]
-            code = boxes_ref[0, 0, base + 4]
-            bvalid = code  # >= 0 iff valid
-            ci = jnp.maximum(code, 0.0).astype(jnp.int32)
-            col_r = pal_ref[ci * 3 + 0]
-            col_g = pal_ref[ci * 3 + 1]
-            col_b = pal_ref[ci * 3 + 2]
+        def env_body(i, _):
+            _render_one(i)
+            return 0
 
-            relx = owx - cx
-            rely = owy - cy
-            o0 = relx * cb + rely * sb
-            o1 = -relx * sb + rely * cb
-            d0 = dwx * cb + dwy * sb
-            d1 = -dwx * sb + dwy * cb
+        def _render_one(i):
+            # per-env SMEM operands are blocked by the env grid axis (window
+            # = env_chunk rows): a full (E, .) SMEM window overflows the
+            # 1 MB SMEM at fleet sizes (E=1024 boxes alone is 2 MB)
+            ex = env_ref[i, 0, 0]
+            ey = env_ref[i, 0, 1]
+            c = env_ref[i, 0, 2]
+            s = env_ref[i, 0, 3]
+            tgx = env_ref[i, 0, 4]
+            tgy = env_ref[i, 0, 5]
+            bright = env_ref[i, 0, 6]
+            sky_r = env_ref[i, 0, 7]
+            sky_g = env_ref[i, 0, 8]
+            sky_b = env_ref[i, 0, 9]
 
-            def slab(o, d, half):
-                guarded = jnp.where(jnp.abs(d) < eps,
-                                    jnp.where(d >= 0, eps, -eps), d)
-                inv = 1.0 / guarded
-                t1 = (-half - o) * inv
-                t2 = (half - o) * inv
-                return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+            dwx = dxv * c - dyv * s
+            dwy = dxv * s + dyv * c
+            # world-frame camera origin (scalar per env)
+            owx = ox_t * c - oy_t * s + ex
+            owy = ox_t * s + oy_t * c + ey
 
-            n0, f0 = slab(o0, d0, hl)
-            n1, f1 = slab(o1, d1, hw)
-            tmin = jnp.maximum(n0, jnp.maximum(n1, n2))
-            tmax = jnp.minimum(f0, jnp.minimum(f1, f2))
-            hit = (bvalid >= 0.0) & (tmax >= tmin) & (tmax > 0) & (tmin > 0) \
-                & (tmin < t_best)
-            # entry face -> lambert-ish factor (x faces 0.75, y 0.9, top 1.0)
-            f_light = jnp.where(
-                n0 >= jnp.maximum(n1, n2), 0.75,
-                jnp.where(n1 >= n2, 0.9, 1.0))
-            t_best = jnp.where(hit, tmin, t_best)
-            vr = jnp.where(hit, col_r * f_light, vr)
-            vg = jnp.where(hit, col_g * f_light, vg)
-            vb = jnp.where(hit, col_b * f_light, vb)
-            return t_best, vr, vg, vb
+            def body(k, carry):
+                t_best, vr, vg, vb = carry
+                base = t * (n_boxes * BOX_FIELDS) + k * BOX_FIELDS
+                cx = boxes_ref[i, 0, base + 0]
+                cy = boxes_ref[i, 0, base + 1]
+                cb = boxes_ref[i, 0, base + 2]
+                sb = boxes_ref[i, 0, base + 3]
+                code = boxes_ref[i, 0, base + 4]
+                bvalid = code  # >= 0 iff valid
+                ci = jnp.maximum(code, 0.0).astype(jnp.int32)
+                col_r = pal_ref[ci * 3 + 0]
+                col_g = pal_ref[ci * 3 + 1]
+                col_b = pal_ref[ci * 3 + 2]
 
-        shape = dxv.shape
-        init = (jnp.full(shape, SKY, jnp.float32),
-                jnp.zeros(shape, jnp.float32),
-                jnp.zeros(shape, jnp.float32),
-                jnp.zeros(shape, jnp.float32))
+                relx = owx - cx
+                rely = owy - cy
+                o0 = relx * cb + rely * sb
+                o1 = -relx * sb + rely * cb
+                d0 = dwx * cb + dwy * sb
+                d1 = -dwx * sb + dwy * cb
 
-        def run_boxes(_):
-            if n_boxes <= 16:
-                # static unroll: lets Mosaic software-pipeline across boxes
-                carry = init
-                for k in range(n_boxes):
-                    carry = body(k, carry)
-                return carry
-            return jax.lax.fori_loop(0, n_boxes, body, init)
+                def slab(o, d, half):
+                    guarded = jnp.where(jnp.abs(d) < eps,
+                                        jnp.where(d >= 0, eps, -eps), d)
+                    inv = 1.0 / guarded
+                    t1 = (-half - o) * inv
+                    t2 = (half - o) * inv
+                    return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
 
-        # elevation/occupancy skip: tiles/bands whose cull kept ZERO boxes
-        # (sky-facing sectors, sectors looking at empty lot, elevation bands
-        # outside every candidate's z-slab window) bypass the box loop
-        # entirely — bit-exact, since invalid candidates are no-ops
-        if n_bands > 1:
-            k_here = (kmax_ref[0, 0, t] >> (4 * (tb % n_bands))) & 15
+                n0, f0 = slab(o0, d0, hl)
+                n1, f1 = slab(o1, d1, hw)
+                tmin = jnp.maximum(n0, jnp.maximum(n1, n2))
+                tmax = jnp.minimum(f0, jnp.minimum(f1, f2))
+                hit = (bvalid >= 0.0) & (tmax >= tmin) & (tmax > 0) \
+                    & (tmin > 0) & (tmin < t_best)
+                # entry face -> lambert-ish (x faces 0.75, y 0.9, top 1.0)
+                f_light = jnp.where(
+                    n0 >= jnp.maximum(n1, n2), 0.75,
+                    jnp.where(n1 >= n2, 0.9, 1.0))
+                t_best = jnp.where(hit, tmin, t_best)
+                vr = jnp.where(hit, col_r * f_light, vr)
+                vg = jnp.where(hit, col_g * f_light, vg)
+                vb = jnp.where(hit, col_b * f_light, vb)
+                return t_best, vr, vg, vb
+
+            shape = dxv.shape
+            init = (jnp.full(shape, SKY, jnp.float32),
+                    jnp.zeros(shape, jnp.float32),
+                    jnp.zeros(shape, jnp.float32),
+                    jnp.zeros(shape, jnp.float32))
+
+            def run_k(kk):
+                # bit-exact at any kk >= the candidate count: extra
+                # candidates are invalid (code < 0) and their body is a
+                # no-op
+                def f(_):
+                    if kk <= 16:
+                        # static unroll: Mosaic software-pipelines across
+                        # boxes
+                        carry = init
+                        for k in range(kk):
+                            carry = body(k, carry)
+                        return carry
+                    return jax.lax.fori_loop(0, kk, body, init)
+                return f
+
+            # occupancy switch: run only the k_here candidates the cull
+            # kept for this (tile, band) — the hardware attribution shows
+            # each unrolled box costs ~2.8 us/env-step while most bands
+            # keep 0 or 1, so branching to the exact count reclaims most
+            # of the box-loop time. Bit-exact (see run_k).
+            if n_bands > 1:
+                k_here = (kmax_ref[i, 0, t] >> (4 * (tb % n_bands))) & 15
+            else:
+                k_here = kmax_ref[i, 0, t]
+            if n_boxes <= 4:
+                def build(kk):
+                    if kk == 0:
+                        return run_k(0)
+                    return lambda _: jax.lax.cond(
+                        k_here >= kk, run_k(kk), build(kk - 1), None)
+                t_box, vr, vg, vb = build(n_boxes)(None)
+            else:
+                t_box, vr, vg, vb = jax.lax.cond(
+                    k_here > 0, run_k(n_boxes), run_k(0), None)
+
+            # ---- ground shading (skipped on statically all-sky bands) ----
+            def run_ground(_):
+                pgx = owx + tg * dwx
+                pgy = owy + tg * dwy
+                line = _line_intensity(pgx, pgy)
+                in_t = (jnp.abs(pgx - tgx) <= sl) & (jnp.abs(pgy - tgy) <= sw)
+                gray = 0.32 + 0.55 * line
+                # the target mask is carried as f32 (1.0/0.0): Mosaic cannot
+                # legalize an scf.if whose results include an i1 vector
+                return (jnp.where(in_t, gray * 0.4 + 0.55, gray),
+                        jnp.where(in_t, gray * 0.4, gray),
+                        jnp.where(in_t, gray * 0.4, gray),
+                        in_t.astype(jnp.float32))
+
+            def no_ground(_):
+                z = jnp.zeros(shape, jnp.float32)
+                return z, z, z, z
+
+            gr, gg, gb, in_target_f = jax.lax.cond(
+                sky_band_flag == 0, run_ground, no_ground, None)
+            in_target = in_target_f > 0.5
+
+            # ---- sky (elevation factor is a static table) ----
+            elev = elev_ref[:]
+            hor_r = sky_r * 0.8 + 0.18
+            hor_g = sky_g * 0.8 + 0.18
+            hor_b = sky_b * 0.8 + 0.18
+            sk_r = hor_r * (1 - elev) + sky_r * elev
+            sk_g = hor_g * (1 - elev) + sky_g * elev
+            sk_b = hor_b * (1 - elev) + sky_b * elev
+
+            # ---- composite ----
+            box_front = t_box < tg
+            t_hit = jnp.where(box_front, t_box, tg)
+            is_sky = t_hit >= SKY
+
+            out_r = jnp.where(is_sky, sk_r, jnp.where(box_front, vr, gr))
+            out_g = jnp.where(is_sky, sk_g, jnp.where(box_front, vg, gg))
+            out_b = jnp.where(is_sky, sk_b, jnp.where(box_front, vb, gb))
+            si = jnp.where(
+                is_sky, 0, jnp.where(box_front, 1, jnp.where(in_target, 2, 0)))
+            if packed:
+                # pack RGB (8-bit quantized, the reference's PNG precision)
+                # + sem into ONE int32 plane: 8 B/px of HBM writes (with
+                # depth) instead of the 20 B/px of five f32 planes — at the
+                # cost of ~12 VPU ops/px of quantization (measured faster,
+                # tools/bench_render_ab.py).
+                rgbs_ref, depth_ref = out_refs
+                ri = jnp.round(jnp.clip(out_r * bright, 0.0, 1.0)
+                               * 255.0).astype(jnp.int32)
+                gi = jnp.round(jnp.clip(out_g * bright, 0.0, 1.0)
+                               * 255.0).astype(jnp.int32)
+                bi = jnp.round(jnp.clip(out_b * bright, 0.0, 1.0)
+                               * 255.0).astype(jnp.int32)
+                rgbs_ref[i] = ri | (gi << 8) | (bi << 16) | (si << 24)
+                depth_ref[i] = jnp.minimum(t_hit, SKY)
+            else:
+                # round-2 layout: raw f32 color planes (no quantization ops)
+                r_ref, g_ref, b_ref, sem_ref, depth_ref = out_refs
+                r_ref[i] = jnp.clip(out_r * bright, 0.0, 1.0)
+                g_ref[i] = jnp.clip(out_g * bright, 0.0, 1.0)
+                b_ref[i] = jnp.clip(out_b * bright, 0.0, 1.0)
+                sem_ref[i] = si
+                depth_ref[i] = jnp.minimum(t_hit, SKY)
+
+        if env_chunk == 1:
+            _render_one(0)
         else:
-            k_here = kmax_ref[0, 0, t]
-        t_box, vr, vg, vb = jax.lax.cond(
-            k_here > 0, run_boxes, lambda _: init, None)
-
-        # ---- ground shading (skipped on statically all-sky bands) ----
-        def run_ground(_):
-            pgx = owx + tg * dwx
-            pgy = owy + tg * dwy
-            line = _line_intensity(pgx, pgy)
-            in_t = (jnp.abs(pgx - tgx) <= sl) & (jnp.abs(pgy - tgy) <= sw)
-            gray = 0.32 + 0.55 * line
-            # the target mask is carried as f32 (1.0/0.0): Mosaic cannot
-            # legalize an scf.if whose results include an i1 vector
-            return (jnp.where(in_t, gray * 0.4 + 0.55, gray),
-                    jnp.where(in_t, gray * 0.4, gray),
-                    jnp.where(in_t, gray * 0.4, gray),
-                    in_t.astype(jnp.float32))
-
-        def no_ground(_):
-            z = jnp.zeros(shape, jnp.float32)
-            return z, z, z, z
-
-        gr, gg, gb, in_target_f = jax.lax.cond(
-            skyband_ref[tb] == 0, run_ground, no_ground, None)
-        in_target = in_target_f > 0.5
-
-        # ---- sky (elevation factor is a static table) ----
-        elev = elev_ref[:]
-        hor_r = sky_r * 0.8 + 0.18
-        hor_g = sky_g * 0.8 + 0.18
-        hor_b = sky_b * 0.8 + 0.18
-        sk_r = hor_r * (1 - elev) + sky_r * elev
-        sk_g = hor_g * (1 - elev) + sky_g * elev
-        sk_b = hor_b * (1 - elev) + sky_b * elev
-
-        # ---- composite ----
-        box_front = t_box < tg
-        t_hit = jnp.where(box_front, t_box, tg)
-        is_sky = t_hit >= SKY
-
-        out_r = jnp.where(is_sky, sk_r, jnp.where(box_front, vr, gr))
-        out_g = jnp.where(is_sky, sk_g, jnp.where(box_front, vg, gg))
-        out_b = jnp.where(is_sky, sk_b, jnp.where(box_front, vb, gb))
-        si = jnp.where(
-            is_sky, 0, jnp.where(box_front, 1, jnp.where(in_target, 2, 0)))
-        if packed:
-            # pack RGB (8-bit quantized, the reference's PNG precision) +
-            # sem into ONE int32 plane: 8 B/px of HBM writes (with depth)
-            # instead of the 20 B/px of five f32 planes — at the cost of
-            # ~12 VPU ops/px of quantization. The trade is workload-
-            # dependent (the kernel is VPU-bound after culling); the
-            # unpacked variant below exists for the hardware A/B
-            # (tools/bench_render_ab.py).
-            rgbs_ref, depth_ref = out_refs
-            ri = jnp.round(jnp.clip(out_r * bright, 0.0, 1.0)
-                           * 255.0).astype(jnp.int32)
-            gi = jnp.round(jnp.clip(out_g * bright, 0.0, 1.0)
-                           * 255.0).astype(jnp.int32)
-            bi = jnp.round(jnp.clip(out_b * bright, 0.0, 1.0)
-                           * 255.0).astype(jnp.int32)
-            rgbs_ref[0] = ri | (gi << 8) | (bi << 16) | (si << 24)
-            depth_ref[0] = jnp.minimum(t_hit, SKY)
-        else:
-            # round-2 layout: raw f32 color planes (no quantization ops)
-            r_ref, g_ref, b_ref, sem_ref, depth_ref = out_refs
-            r_ref[0] = jnp.clip(out_r * bright, 0.0, 1.0)
-            g_ref[0] = jnp.clip(out_g * bright, 0.0, 1.0)
-            b_ref[0] = jnp.clip(out_b * bright, 0.0, 1.0)
-            sem_ref[0] = si
-            depth_ref[0] = jnp.minimum(t_hit, SKY)
+            jax.lax.fori_loop(0, env_chunk, env_body, 0)
 
     return kernel
 
@@ -365,7 +397,7 @@ def _cull_planes(sim_cfg: SimConfig, n_sectors: int):
         a[:S] = per_slot
         return np.broadcast_to(a[None, :], (R, LANES)).copy()
 
-    cam_of_tile = np.repeat(np.arange(4), n_sectors)
+    cam_of_tile = np.repeat(np.arange(origins.shape[0]), n_sectors)
     planes = np.stack([
         laneplane(scene_lib.SLOT_XY[:, 0].astype(np.float32), 1e9),
         laneplane(scene_lib.SLOT_XY[:, 1].astype(np.float32), 1e9),
@@ -471,12 +503,12 @@ def _cull_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
 
 @functools.partial(jax.jit, static_argnames=("sim_cfg", "n_boxes", "interpret",
                                               "n_sectors", "bands", "packed",
-                                              "cull"))
+                                              "cull", "env_chunk"))
 def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
                           weather=None, n_boxes: int = 3,
                           interpret: bool = False, n_sectors: int = SECTORS,
                           bands: int = 2, packed: bool = True,
-                          cull: str = "pallas"):
+                          cull: str = "pallas", env_chunk: int = 16):
     """Batched fused render. ego_* are (E,); scene is a batched SceneState.
 
     n_boxes: candidate boxes kept per (camera, sector) tile — the culling
@@ -487,6 +519,10 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
     selection it replaced; kept for the hardware A/B and as the tie-break
     semantics reference). Both make the same selection up to float ulps at
     the conservative test's decision boundary.
+
+    env_chunk: envs rendered per grid cell (clamped down to divide E);
+    amortizes the per-grid-cell fixed cost that dominates at chunk 1 (see
+    _make_kernel). Bit-exact for any value.
 
     Returns dict rgb (E, 4, H, W, 3), depth (E, 4, H, W), sem (E, 4, H, W).
     """
@@ -508,8 +544,9 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
         sim_cfg, n_sectors)
     planes = tuple(jnp.asarray(planes_np[k])
                    for k in ("dx", "dy", "tg", "elev", "zn", "zf"))
-    # per-tile (ox, oy) vehicle-frame camera origin, flat for SMEM
-    cam_of_tile = np.repeat(np.arange(4), n_sectors)
+    # per-tile (ox, oy) vehicle-frame camera origin, flat for SMEM (camera
+    # count derived from the rig so it tracks SimConfig)
+    cam_of_tile = np.repeat(np.arange(origins.shape[0]), n_sectors)
     org_tile = jnp.asarray(
         origins[cam_of_tile][:, :2].reshape(-1).astype(np.float32))
 
@@ -642,10 +679,15 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
     else:
         kmax = sel_valid.sum(axis=-1).reshape(E, n_tiles).astype(jnp.int32)
 
-    kernel = _make_kernel(sim_cfg, n_boxes, n_bands, packed)
+    # env chunk: clamp down to a divisor of E (tiny test fleets stay valid)
+    EC = max(1, min(env_chunk, E))
+    while E % EC:
+        EC -= 1
+
+    kernel = _make_kernel(sim_cfg, n_boxes, n_bands, packed, EC)
     plane_spec = pl.BlockSpec((band_rows, LANES), lambda t, e: (t, 0),
                               memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, band_rows, LANES), lambda t, e: (e, t, 0),
+    out_spec = pl.BlockSpec((EC, band_rows, LANES), lambda t, e: (e, t, 0),
                             memory_space=pltpu.VMEM)
     if packed:
         out_shape = (jax.ShapeDtypeStruct((E, rows, LANES), jnp.int32),
@@ -658,21 +700,22 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
 
     outs = pl.pallas_call(
         kernel,
-        grid=(n_tiles * n_bands, E),
+        grid=(n_tiles * n_bands, E // EC),
         in_specs=[
             # per-env scalar operands blocked by the env grid axis: one
-            # env's row per window (a full (E, .) SMEM window is 2 MB of
-            # boxes alone at E=1024, over the 1 MB SMEM). The arrays carry
-            # a unit middle axis because Mosaic requires the last two block
-            # dims to equal the array dims (or be 8/128-aligned) even in
-            # SMEM — (1, 1, N) blocks of an (E, 1, N) array satisfy that.
-            pl.BlockSpec((1, 1, ENV_FIELDS), lambda t, e: (e, 0, 0),
+            # chunk of env rows per window (a full (E, .) SMEM window is
+            # 2 MB of boxes alone at E=1024, over the 1 MB SMEM). The
+            # arrays carry a unit middle axis because Mosaic requires the
+            # last two block dims to equal the array dims (or be
+            # 8/128-aligned) even in SMEM — (EC, 1, N) blocks of an
+            # (E, 1, N) array satisfy that.
+            pl.BlockSpec((EC, 1, ENV_FIELDS), lambda t, e: (e, 0, 0),
                          memory_space=pltpu.SMEM),  # env scalars
-            pl.BlockSpec((1, 1, n_tiles * n_boxes * BOX_FIELDS),
+            pl.BlockSpec((EC, 1, n_tiles * n_boxes * BOX_FIELDS),
                          lambda t, e: (e, 0, 0),
                          memory_space=pltpu.SMEM),  # packed boxes
             pl.BlockSpec(memory_space=pltpu.SMEM),  # vehicle palette
-            pl.BlockSpec((1, 1, n_tiles), lambda t, e: (e, 0, 0),
+            pl.BlockSpec((EC, 1, n_tiles), lambda t, e: (e, 0, 0),
                          memory_space=pltpu.SMEM),  # per-tile/band counts
             pl.BlockSpec(memory_space=pltpu.SMEM),  # static all-sky band flag
             pl.BlockSpec(memory_space=pltpu.SMEM),  # per-tile camera origins

@@ -213,3 +213,37 @@ def test_packed_and_unpacked_outputs_agree():
                                   np.asarray(b["depth"]))
     np.testing.assert_allclose(np.asarray(a["rgb"]), np.asarray(b["rgb"]),
                                atol=0.5 / 255.0 + 1e-6)
+
+
+def test_env_chunking_is_exact():
+    """env_chunk (envs rendered per grid cell, round-4 throughput lever) must
+    be output-invariant: the chunked kernel runs the identical per-env math
+    in an in-kernel fori_loop, so any chunk size renders bit-identically to
+    chunk 1. Also covers the non-divisor clamp (env_chunk=3 on E=4 -> 2)."""
+    st = sample_envs(4)
+    weather = jnp.array([0, 3, 1, 2], jnp.int32)
+    base = render_cameras_pallas(st.ego.x, st.ego.y, st.ego.yaw, st.scene,
+                                 SIM, weather, n_boxes=3, interpret=True,
+                                 env_chunk=1)
+    for ec in (2, 3, 4, 16):  # 3 clamps to 2; 16 clamps to E=4
+        out = render_cameras_pallas(st.ego.x, st.ego.y, st.ego.yaw, st.scene,
+                                    SIM, weather, n_boxes=3, interpret=True,
+                                    env_chunk=ec)
+        for f in ("rgb", "depth", "sem"):
+            np.testing.assert_array_equal(
+                np.asarray(base[f]), np.asarray(out[f]),
+                err_msg=f"env_chunk={ec} diverges on {f}")
+
+
+def test_env_chunking_exact_banded_no_cull():
+    """Chunking composes with elevation bands and the cull-off (K=64) path."""
+    st = sample_envs(2)
+    a = render_cameras_pallas(st.ego.x, st.ego.y, st.ego.yaw, st.scene,
+                              SIM, n_boxes=64, interpret=True, bands=2,
+                              env_chunk=1)
+    b = render_cameras_pallas(st.ego.x, st.ego.y, st.ego.yaw, st.scene,
+                              SIM, n_boxes=64, interpret=True, bands=2,
+                              env_chunk=2)
+    for f in ("rgb", "depth", "sem"):
+        np.testing.assert_array_equal(np.asarray(a[f]), np.asarray(b[f]),
+                                      err_msg=f"banded chunking diverges: {f}")

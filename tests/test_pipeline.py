@@ -390,3 +390,31 @@ def test_train_loop_late_dagger_boost(tmp_path):
                        refresh_every=4, val_every=8, chunk=2, seed=0,
                        log_fn=None)
     assert int(state.step) == 16
+
+
+def test_closed_loop_eval_sharded_over_data_axis(model_state, tmp_path):
+    """VERDICT-3 item 5: the protocol sharded over the mesh's data axis.
+    An 8-device data mesh must (a) run the mini protocol end to end via
+    shard_map and (b) reproduce the unsharded evaluator's terminal states —
+    the per-device body is the identical program, so outcomes must agree."""
+    from e2e_parking_carla_tpu.eval import ClosedLoopEvaluator
+
+    model, state, _ = model_state
+    cfg = dataclasses.replace(
+        TINY_CFG,
+        eval=EvalConfig(epochs=1, task_nums=2, parking_nums=2,
+                        frames_total_needed=270, frames_outbound_needed=60),
+    )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    mesh = make_mesh(data_axis=8, model_axis=1)
+    ev_sharded = ClosedLoopEvaluator(model, variables, cfg, mesh=mesh)
+    ev_plain = ClosedLoopEvaluator(model, variables, cfg)
+
+    fin_s = ev_sharded.run_epoch(0)
+    fin_p = ev_plain.run_epoch(0)
+    np.testing.assert_array_equal(np.asarray(fin_s.status),
+                                  np.asarray(fin_p.status))
+    for field in ("x", "y", "yaw"):
+        np.testing.assert_allclose(np.asarray(getattr(fin_s.ego, field)),
+                                   np.asarray(getattr(fin_p.ego, field)),
+                                   atol=1e-5)

@@ -10,6 +10,7 @@ render) and reports env steps/s for each.
 """
 
 import functools
+import os
 import time
 
 import jax
@@ -55,10 +56,10 @@ def main():
 
         return run
 
-    import os
     if os.environ.get("AB_SECTORS"):
         # sector-count sweep: azimuth-cull granularity vs grid-cell count
-        # (the (bands, packed, cull) winner is fixed at the shipped default)
+        # (the (bands, packed, cull) winner is fixed at the shipped default;
+        # the 8-sector row IS the shipped default, giving an in-run baseline)
         configs = [("pallas", 2, True, sec) for sec in (4, 8, 16)] + [
             ("pallas", 4, True, 4)]
     else:
