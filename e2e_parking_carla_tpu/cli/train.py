@@ -34,6 +34,16 @@ def parse_args(argv=None):
                    help="checkpoint dir to resume from (restores the latest "
                         "step and continues; the reference has no resume "
                         "wiring, SURVEY §5)")
+    p.add_argument("--init_from", default=None,
+                   help="weights artifact (.msgpack.gz) to warm-start from: "
+                        "every leaf whose path+shape matches transfers, the "
+                        "rest keep their fresh init (our analog of the "
+                        "reference's ImageNet-pretrained trunk, "
+                        "cam_encoder.py:17 — e.g. seed a b4 run with the b0 "
+                        "flagship's BEV/fusion/decoder weights)")
+    p.add_argument("--init_skip", default="cam_encoder",
+                   help="comma-separated param-path prefixes excluded from "
+                        "--init_from transfer (default: the camera trunk)")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax debug_nans (fail fast on NaNs)")
     p.add_argument("--smoke", action="store_true",
@@ -153,7 +163,7 @@ def main(argv=None):
     print(f"checkpoints -> {exp_dir}")
 
     state = None
-    if args.resume and mngr.latest_step() is not None:
+    if (args.resume and mngr.latest_step() is not None) or args.init_from:
         from e2e_parking_carla_tpu.data.rollout import collect_episodes, make_batch
         from e2e_parking_carla_tpu.train import trainer as trainer_lib
 
@@ -164,8 +174,21 @@ def main(argv=None):
             buf, jax.random.PRNGKey(1))
         skeleton = trainer_lib.create_train_state(
             model, cfg, jax.random.PRNGKey(0), sample)
-        state = mngr.restore(skeleton)
-        print(f"resumed from step {int(state.step)}")
+        if args.resume and mngr.latest_step() is not None:
+            state = mngr.restore(skeleton)
+            print(f"resumed from step {int(state.step)}")
+        else:
+            skip = tuple(p for p in args.init_skip.split(",") if p)
+            merged, n_copied, n_skipped = ckpt_lib.merge_weights_artifact(
+                args.init_from,
+                {"params": skeleton.params, "batch_stats": skeleton.batch_stats},
+                skip_prefixes=skip)
+            state = skeleton.replace(
+                params=merged["params"], batch_stats=merged["batch_stats"],
+                ema_params=merged["params"])
+            print(f"warm-started from {args.init_from}: "
+                  f"{n_copied} leaves transferred, {n_skipped} fresh "
+                  f"(skip={skip})")
 
     import os
     probe_export = args.probe_export or os.path.join(exp_dir, "best_ema.msgpack.gz")

@@ -109,24 +109,37 @@ def _static_tables(sim_cfg: SimConfig, n_sectors: int = SECTORS):
             org.astype(np.float32), bands)
 
 
+def _tree_min(vals):
+    """Balanced-tree minimum. fp min is exact (no rounding), so this is
+    bit-identical to a sequential chain while cutting the dependent-op
+    depth from len(vals)-1 to ceil(log2(len(vals))) — the VPU dual-issues
+    the independent pairs (round-4: the 15-deep slot-center chain was the
+    longest dependency in the ground path)."""
+    vals = list(vals)
+    while len(vals) > 1:
+        nxt = [jnp.minimum(a, b) for a, b in zip(vals[::2], vals[1::2])]
+        if len(vals) % 2:
+            nxt.append(vals[-1])
+        vals = nxt
+    return vals[0]
+
+
 def _line_intensity(px, py):
     """Analytic slot-line marking (mirrors cam_lib.ground_line_intensity,
     unrolled over the static row/slot coordinates)."""
     hl, hw = 2.75, 1.55
     w = cam_lib.LINE_HALF_WIDTH
-    dx_row = jnp.full_like(px, 1e9)
-    for rx in scene_lib.ROW_X.tolist():
-        dx_row = jnp.minimum(dx_row, jnp.abs(px - rx))
-    dy_slot = jnp.full_like(py, 1e9)
-    for sy in scene_lib.SLOT_Y.tolist():
-        dy_slot = jnp.minimum(dy_slot, jnp.abs(py - sy))
+    dx_row = _tree_min(jnp.abs(px - rx) for rx in scene_lib.ROW_X.tolist())
+    dy_slot = _tree_min(jnp.abs(py - sy) for sy in scene_lib.SLOT_Y.tolist())
     on_x = (jnp.abs(dx_row - hl) < w) & (dy_slot < hw + w)
     on_y = (jnp.abs(dy_slot - hw) < w) & (dx_row < hl + w)
     return jnp.where(on_x | on_y, 1.0, 0.0)
 
 
 def _make_kernel(sim_cfg: SimConfig, n_boxes: int, n_bands: int = 1,
-                 packed: bool = True, env_chunk: int = 1):
+                 packed: bool = True, env_chunk: int = 1,
+                 box_switch: str = "nested", skip_sky: bool = True,
+                 unroll_envs: bool = False):
     """n_bands > 1: each (camera, sector) tile is split into `n_bands`
     elevation bands (contiguous tile-row blocks); kmax_ref then holds a
     packed 4-bit per-band candidate count and skyband_ref a static all-sky
@@ -137,9 +150,10 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, n_bands: int = 1,
     consecutive envs in an in-kernel loop. The hardware attribution
     (tools/profile_render.py) shows the per-grid-cell fixed cost (window
     swaps, per-env SMEM DMAs, scalar setup) dominating the per-pixel VPU
-    math at chunk 1 — e.g. zeroing the whole 60-op slot-line chain moves
-    the bench < 0.3%; chunking amortizes that fixed cost across envs while
-    the static pixel planes stay resident in VMEM."""
+    math at chunk 1; chunking amortizes that fixed cost across envs while
+    the static pixel planes stay resident in VMEM. At chunk 32 the cost
+    decomposes as ~13.7 us/env-step floor (ground+sky+pack+writes+glue) +
+    ~1.8 us per unrolled box body (v5e, tools round-4 attribution)."""
     hl = float(sim_cfg.npc_half_length)
     hw = float(sim_cfg.npc_half_width)
     sl = float(sim_cfg.slot_half_length)
@@ -189,19 +203,38 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, n_bands: int = 1,
             owx = ox_t * c - oy_t * s + ex
             owy = ox_t * s + oy_t * c + ey
 
+            # hoist every scalar SMEM load out of the occupancy-switch
+            # branches: the scalar core can then run ahead of the vector
+            # work instead of serializing loads behind each lax.cond entry
+            hoist = n_boxes <= 16
+            if hoist:
+                pre = []
+                for k in range(n_boxes):
+                    base = t * (n_boxes * BOX_FIELDS) + k * BOX_FIELDS
+                    code_k = boxes_ref[i, 0, base + 4]
+                    ci_k = jnp.maximum(code_k, 0.0).astype(jnp.int32)
+                    pre.append((
+                        boxes_ref[i, 0, base + 0], boxes_ref[i, 0, base + 1],
+                        boxes_ref[i, 0, base + 2], boxes_ref[i, 0, base + 3],
+                        code_k, pal_ref[ci_k * 3 + 0], pal_ref[ci_k * 3 + 1],
+                        pal_ref[ci_k * 3 + 2]))
+
             def body(k, carry):
                 t_best, vr, vg, vb = carry
-                base = t * (n_boxes * BOX_FIELDS) + k * BOX_FIELDS
-                cx = boxes_ref[i, 0, base + 0]
-                cy = boxes_ref[i, 0, base + 1]
-                cb = boxes_ref[i, 0, base + 2]
-                sb = boxes_ref[i, 0, base + 3]
-                code = boxes_ref[i, 0, base + 4]
+                if hoist and isinstance(k, int):
+                    cx, cy, cb, sb, code, col_r, col_g, col_b = pre[k]
+                else:
+                    base = t * (n_boxes * BOX_FIELDS) + k * BOX_FIELDS
+                    cx = boxes_ref[i, 0, base + 0]
+                    cy = boxes_ref[i, 0, base + 1]
+                    cb = boxes_ref[i, 0, base + 2]
+                    sb = boxes_ref[i, 0, base + 3]
+                    code = boxes_ref[i, 0, base + 4]
+                    ci = jnp.maximum(code, 0.0).astype(jnp.int32)
+                    col_r = pal_ref[ci * 3 + 0]
+                    col_g = pal_ref[ci * 3 + 1]
+                    col_b = pal_ref[ci * 3 + 2]
                 bvalid = code  # >= 0 iff valid
-                ci = jnp.maximum(code, 0.0).astype(jnp.int32)
-                col_r = pal_ref[ci * 3 + 0]
-                col_g = pal_ref[ci * 3 + 1]
-                col_b = pal_ref[ci * 3 + 2]
 
                 relx = owx - cx
                 rely = owy - cy
@@ -264,16 +297,25 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, n_bands: int = 1,
                 k_here = (kmax_ref[i, 0, t] >> (4 * (tb % n_bands))) & 15
             else:
                 k_here = kmax_ref[i, 0, t]
-            if n_boxes <= 4:
+            # box_switch picks the control-flow shape of the occupancy
+            # switch (bit-exact in all modes — extra candidates are
+            # invalid no-ops, see run_k). The hardware attribution at
+            # env_chunk 32 shows VECTOR ops are nearly free while each
+            # lax.cond costs pipeline bubbles (zeroing the 60-op slot-line
+            # chain moves the bench < 0.3%, but dropping from 3 nested
+            # conds to 1 saves ~24%) — hence "single"/"always".
+            if box_switch == "always":
+                t_box, vr, vg, vb = run_k(n_boxes)(None)
+            elif box_switch == "single" or n_boxes > 4:
+                t_box, vr, vg, vb = jax.lax.cond(
+                    k_here > 0, run_k(n_boxes), run_k(0), None)
+            else:
                 def build(kk):
                     if kk == 0:
                         return run_k(0)
                     return lambda _: jax.lax.cond(
                         k_here >= kk, run_k(kk), build(kk - 1), None)
                 t_box, vr, vg, vb = build(n_boxes)(None)
-            else:
-                t_box, vr, vg, vb = jax.lax.cond(
-                    k_here > 0, run_k(n_boxes), run_k(0), None)
 
             # ---- ground shading (skipped on statically all-sky bands) ----
             def run_ground(_):
@@ -293,8 +335,13 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, n_bands: int = 1,
                 z = jnp.zeros(shape, jnp.float32)
                 return z, z, z, z
 
-            gr, gg, gb, in_target_f = jax.lax.cond(
-                sky_band_flag == 0, run_ground, no_ground, None)
+            if skip_sky:
+                gr, gg, gb, in_target_f = jax.lax.cond(
+                    sky_band_flag == 0, run_ground, no_ground, None)
+            else:
+                # branch-free: all-sky bands waste (free) vector ops but
+                # skip a cond; composite overwrites ground with sky there
+                gr, gg, gb, in_target_f = run_ground(None)
             in_target = in_target_f > 0.5
 
             # ---- sky (elevation factor is a static table) ----
@@ -342,10 +389,31 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, n_bands: int = 1,
 
         if env_chunk == 1:
             _render_one(0)
+        elif unroll_envs:
+            # static unroll: Mosaic can software-pipeline the scalar setup
+            # and window logic of env i+1 behind the vector work of env i
+            for i in range(env_chunk):
+                _render_one(i)
         else:
             jax.lax.fori_loop(0, env_chunk, env_body, 0)
 
     return kernel
+
+
+def unpack_rgb_word(word):
+    """Decode the packed render word -> (rgb f32 in [0,1] (..., 3), sem i32).
+
+    This is the first op of any consumer of the `raw_out=True` format; it is
+    deliberately OUTSIDE the render kernel so 10 Hz consumers (the policy's
+    make_batch) pay for the f32 expansion only on the frames they read
+    (reference parking_agent.py:228 — the policy consumes every 3rd frame).
+    Matches the renderer's own rgb output to 1 ulp (XLA may lower the /255
+    differently across separately compiled programs)."""
+    rgb = jnp.stack(
+        [(word & 0xFF).astype(jnp.float32) / 255.0,
+         ((word >> 8) & 0xFF).astype(jnp.float32) / 255.0,
+         ((word >> 16) & 0xFF).astype(jnp.float32) / 255.0], axis=-1)
+    return rgb, (word >> 24).astype(jnp.int32)
 
 
 def _wrap(a):
@@ -375,6 +443,14 @@ def _wrap(a):
 # ---------------------------------------------------------------------------
 
 _CULL_MARGIN = 0.02
+# Distance term of the visibility test = the shared LOD spec
+# (sim/camera.py:LOD_RADIUS). Round-4 note: this used to be a
+# selection-only 45 m cutoff while the pure renderer drew at any range —
+# a box whose CENTER sat at 46.3 m was visible at ~40 m ray depth in the
+# rear camera and tripped the 150-frame mid-maneuver bit-parity gate. The
+# rule is now a property of the RENDERED IMAGE (both renderers apply it
+# with identical f32 ops), so the selection can rely on it exactly.
+_CULL_RADIUS = float(cam_lib.LOD_RADIUS)
 
 
 @functools.lru_cache(maxsize=4)
@@ -445,7 +521,7 @@ def _make_cull_kernel(n_boxes: int, r_box: float):
         rho = r_box / jnp.maximum(dist, r_box)
         cosa = cav * jnp.sqrt(jnp.maximum(1.0 - rho * rho, 0.0)) - sav * rho
         vis = ((valid > 0.0) & ((dot >= dist * cosa) | (d2 <= r2))
-               & (d2 < 45.0 ** 2))
+               & (d2 < _CULL_RADIUS ** 2))
         d2s = jnp.where(vis, d2, INF)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, d2s.shape, 1)
@@ -503,12 +579,17 @@ def _cull_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
 
 @functools.partial(jax.jit, static_argnames=("sim_cfg", "n_boxes", "interpret",
                                               "n_sectors", "bands", "packed",
-                                              "cull", "env_chunk"))
+                                              "cull", "env_chunk", "box_switch",
+                                              "skip_sky", "unroll_envs",
+                                              "raw_out", "debug_no_boxes"))
 def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
                           weather=None, n_boxes: int = 3,
-                          interpret: bool = False, n_sectors: int = SECTORS,
+                          interpret: bool = False, n_sectors: int = 4,
                           bands: int = 2, packed: bool = True,
-                          cull: str = "pallas", env_chunk: int = 16):
+                          cull: str = "pallas", env_chunk: int = 32,
+                          box_switch: str = "nested", skip_sky: bool = True,
+                          unroll_envs: bool = True, raw_out: bool = False,
+                          debug_no_boxes: bool = False):
     """Batched fused render. ego_* are (E,); scene is a batched SceneState.
 
     n_boxes: candidate boxes kept per (camera, sector) tile — the culling
@@ -523,6 +604,18 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
     env_chunk: envs rendered per grid cell (clamped down to divide E);
     amortizes the per-grid-cell fixed cost that dominates at chunk 1 (see
     _make_kernel). Bit-exact for any value.
+
+    Round-4 defaults (v5e sweep, tools/bench_chunk_sweep.py + BENCH.md):
+    env_chunk 32 + 4 sectors + statically-unrolled env loop, ~50k env
+    steps/s every-frame vs 37.8k at the round-3 shape (chunk 1, 8
+    sectors). Wider sectors keep the same K=3 nearest boxes over 2x the
+    azimuth: LOD pixel delta rises to ~1.4% at start poses (gate bound
+    2%); K=2 was measured OVER budget (2.2% at start poses) and rejected.
+    bf16 kernel math was measured OFF the table on this chip: a
+    dependent-chain VPU microbench runs 0.91 Top/s in f32 vs 0.87 in bf16
+    (no packed-execution win to buy). Attribution at these defaults:
+    ~1.2 us/env-step non-render glue (dynamics+expert), ~15 us kernel
+    floor (ground+sky+pack+writes+cull), ~4 us box bodies.
 
     Returns dict rgb (E, 4, H, W, 3), depth (E, 4, H, W), sem (E, 4, H, W).
     """
@@ -600,7 +693,7 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
                                    + ang_half[:, :, None, :] + _CULL_MARGIN)
         vis = (scene.npc_valid[:, None, None, :]
                & (overlap | inside[:, :, None, :])
-               & (d2[:, :, None, :] < 45.0 ** 2))
+               & (d2[:, :, None, :] < _CULL_RADIUS ** 2))
         d2s = jnp.where(vis, d2[:, :, None, :], jnp.inf)  # (E, 4, sec, S)
         # K nearest by repeated argmin-extract: K cheap reduces instead of
         # a full lax.top_k sort
@@ -678,13 +771,18 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
             axis=-1).reshape(E, n_tiles).astype(jnp.int32)
     else:
         kmax = sel_valid.sum(axis=-1).reshape(E, n_tiles).astype(jnp.int32)
+    if debug_no_boxes:
+        # diagnostic floor: keep the full cull + glue but run zero box
+        # bodies in-kernel (isolates in-kernel box cost from selection cost)
+        kmax = jnp.zeros_like(kmax)
 
     # env chunk: clamp down to a divisor of E (tiny test fleets stay valid)
     EC = max(1, min(env_chunk, E))
     while E % EC:
         EC -= 1
 
-    kernel = _make_kernel(sim_cfg, n_boxes, n_bands, packed, EC)
+    kernel = _make_kernel(sim_cfg, n_boxes, n_bands, packed, EC,
+                          box_switch, skip_sky, unroll_envs)
     plane_spec = pl.BlockSpec((band_rows, LANES), lambda t, e: (t, 0),
                               memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((EC, band_rows, LANES), lambda t, e: (e, t, 0),
@@ -732,6 +830,12 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
         a = a.reshape(E, 4, n_sectors, H, Ws)
         return a.transpose(0, 1, 3, 2, 4).reshape(E, 4, H, W)
 
+    if packed and raw_out:
+        # native consumption format: ONE int32 word per pixel (r | g<<8 |
+        # b<<16 | sem<<24, 8-bit-quantized color — the reference's PNG
+        # precision) + the f32 depth plane. Decode with unpack_rgb_word.
+        rgbs, depth = outs
+        return {"word": unflatten(rgbs), "depth": unflatten(depth)}
     if packed:
         rgbs, depth = outs
         word = unflatten(rgbs)

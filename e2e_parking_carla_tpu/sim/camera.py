@@ -40,6 +40,12 @@ from e2e_parking_carla_tpu.sim.env import SceneState
 
 SKY_DEPTH = 1000.0  # CARLA depth cameras saturate at 1 km
 VEHICLE_HALF_HEIGHT = 0.75
+# Distance LOD: vehicles whose center is further than this from a camera
+# are not drawn (shared spec of BOTH renderers — the analog of CARLA's
+# actor draw distance; bev_render.py walks actors within 50 m). Keeping it
+# a shared rule lets the Pallas candidate selection use it as a hard cull
+# while preserving bitwise parity with this renderer.
+LOD_RADIUS = 45.0
 CAM_NAMES = geo.CAM_ORDER
 
 LINE_HALF_WIDTH = 0.08
@@ -226,9 +232,27 @@ def render_cameras(ego_x, ego_y, ego_yaw, scene: SceneState,
     zn = jnp.asarray(tab["zn"])
     zf = jnp.asarray(tab["zf"])
 
+    # ---- distance LOD (shared renderer spec) ----
+    # Vehicles whose center sits further than LOD_RADIUS from a camera are
+    # not drawn by that camera. Computed in the VEHICLE frame with exactly
+    # the op order of the Pallas selection tests (ops/render.py) so the
+    # draw/skip decision is bitwise identical between the two renderers.
+    origins_xy = origins_veh[:, :2]  # (N, 2) vehicle frame
+
+    def lod_keep(center_xy):
+        rx = center_xy[0] - ego_x
+        ry = center_xy[1] - ego_y
+        relv_x = rx * c + ry * s  # R(-yaw)
+        relv_y = -rx * s + ry * c
+        relc_x = relv_x - origins_xy[:, 0]  # (N,)
+        relc_y = relv_y - origins_xy[:, 1]
+        d2 = relc_x * relc_x + relc_y * relc_y
+        return d2 < LOD_RADIUS ** 2  # (N,) per camera
+
     def box_step(carry, inp):
         t_best, id_best, face_best = carry
         center_xy, yaw, valid, idx = inp
+        valid = valid & lod_keep(center_xy)[:, None, None]  # (N,1,1)
         cb, sb = jnp.cos(yaw), jnp.sin(yaw)
         # ray into the box frame (box center at z = half height)
         rel = o_world[..., :2] - jnp.stack([center_xy[0], center_xy[1]])

@@ -87,6 +87,48 @@ def save_weights_artifact(path: str, params, batch_stats, step: int = 0):
     return path
 
 
+def merge_weights_artifact(path: str, skeleton_variables,
+                           skip_prefixes: tuple = ()):
+    """Warm-start transfer: copy every artifact leaf whose path AND shape
+    match the skeleton; leave the rest at their fresh init.
+
+    Used to seed a new backbone config from a trained smaller one — the
+    reference's analog is fine-tuning an ImageNet-pretrained EfficientNet
+    trunk (model/cam_encoder.py:17); here everything DOWNSTREAM of the
+    camera encoder (BEV encoder, fusion, control decoder, seg head) is
+    shape-identical across b0/b4 configs and transfers exactly, while the
+    trunk (named under any prefix in `skip_prefixes`) trains from scratch.
+    Returns (variables, n_copied, n_skipped)."""
+    import gzip
+
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import serialization, traverse_util
+
+    with gzip.open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+
+    out = {}
+    n_copied = n_skipped = 0
+    for coll in ("params", "batch_stats"):
+        tgt = traverse_util.flatten_dict(skeleton_variables.get(coll, {}))
+        src = traverse_util.flatten_dict(raw.get(coll, {}))
+        merged = {}
+        for key, leaf in tgt.items():
+            dotted = "/".join(str(k) for k in key)
+            cand = src.get(key)
+            if (cand is not None
+                    and not any(dotted.startswith(p) for p in skip_prefixes)
+                    and np.shape(cand) == np.shape(leaf)):
+                merged[key] = jnp.asarray(cand, dtype=leaf.dtype)
+                n_copied += 1
+            else:
+                merged[key] = leaf
+                n_skipped += 1
+        out[coll] = traverse_util.unflatten_dict(merged)
+    return out, n_copied, n_skipped
+
+
 def load_weights_artifact(path: str, skeleton_variables):
     """Load a weights artifact into the structure of `skeleton_variables`
     ({'params': ..., 'batch_stats': ...})."""

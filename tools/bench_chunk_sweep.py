@@ -84,8 +84,12 @@ def main():
             {"env_chunk": 32, "n_sectors": 4},
         ]
     for kw in configs:
-        carry, run = build(kw)
-        us, sps = timeit(run, carry)
+        try:
+            carry, run = build(kw)
+            us, sps = timeit(run, carry)
+        except Exception as e:  # noqa: BLE001 — e.g. VMEM OOM at big blocks
+            print(f"{str(kw):44s} FAILED: {str(e)[:120]}", flush=True)
+            continue
         print(f"{str(kw):44s} {us:8.2f} us/env-step {sps:10.1f} steps/s",
               flush=True)
 
