@@ -99,3 +99,48 @@ def test_per_slot_metrics_csv():
     assert rows[1]["CR"] == 50.0 and rows[1]["TR"] == 50.0
     assert np.isnan(rows[1]["APE"])  # no successes in slot 2
     assert rows[0]["AIT"] == 50.0
+
+
+def test_merge_weights_artifact(tmp_path):
+    """Warm-start transfer (cli/train.py --init_from): leaves transfer only
+    on path+shape match and outside the skip prefixes — the rest keep their
+    fresh init. Our analog of the reference's ImageNet-pretrained trunk
+    fine-tune (model/cam_encoder.py:17)."""
+    import jax.numpy as jnp
+
+    from e2e_parking_carla_tpu.train import checkpoints as ckpt_lib
+
+    donor = {
+        "params": {
+            "cam_encoder": {"w": jnp.full((4, 4), 2.0)},
+            "decoder": {"w": jnp.full((3,), 5.0)},
+            "fusion": {"w": jnp.full((2, 2), 7.0)},  # shape-mismatched below
+        },
+        "batch_stats": {"bn": {"mean": jnp.full((4,), 9.0)}},
+    }
+    path = str(tmp_path / "donor.msgpack.gz")
+    ckpt_lib.save_weights_artifact(path, donor["params"], donor["batch_stats"])
+
+    skeleton = {
+        "params": {
+            "cam_encoder": {"w": jnp.zeros((4, 4))},   # skipped by prefix
+            "decoder": {"w": jnp.zeros((3,))},          # transfers
+            "fusion": {"w": jnp.zeros((2, 3))},         # shape mismatch
+            "new_head": {"w": jnp.zeros((5,))},         # absent in donor
+        },
+        "batch_stats": {"bn": {"mean": jnp.zeros((4,))}},  # transfers
+    }
+    merged, n_copied, n_skipped = ckpt_lib.merge_weights_artifact(
+        path, skeleton, skip_prefixes=("cam_encoder",))
+
+    assert n_copied == 2 and n_skipped == 3
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["decoder"]["w"]), 5.0 * np.ones(3))
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["cam_encoder"]["w"]), np.zeros((4, 4)))
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["fusion"]["w"]), np.zeros((2, 3)))
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["new_head"]["w"]), np.zeros(5))
+    np.testing.assert_array_equal(
+        np.asarray(merged["batch_stats"]["bn"]["mean"]), 9.0 * np.ones(4))

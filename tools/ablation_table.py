@@ -2,10 +2,13 @@
 
 Reference numbers: resource/E2E_APA_IV24_final.pdf Table III via BASELINE.md
 (full model TSR 91.41; w/o depth supervision 77.08; w/o speed limit 81.51;
-MLP decoder 83.33). Our rows are same-budget 12k-step b0 runs with the
-flagship recipe (tools/r4_remainder.sh stage_ablate); the speed-limit row is
-eval-only on the 30k flagship (the ablation flips an eval-time behavior,
-reference carla_parking_eva.py --no_speed_limit analog).
+MLP decoder 83.33). Round-4 rows are MATCHED-BUDGET 30k-step b0 runs with
+the full flagship recipe (tools/launch_ablations_r4.sh), directly comparable
+to the eva_result_b0_r4 baseline; the speed-limit row is eval-only on that
+same flagship (the ablation flips an eval-time behavior, reference
+carla_parking_eva.py --no_speed_limit analog). The round-3 12k rows are kept
+below the line as the measured under-training-noise cautionary tale
+(VERDICT-3 weak item 3).
 
 Usage: python tools/ablation_table.py
 """
@@ -16,11 +19,16 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 ROWS = [
     # (label, eval dir, paper TSR)
-    ("full model (12k same-budget baseline)", "eva_result_b0_base12k", 91.41),
-    ("w/o depth supervision", "eva_result_b0_nodepth", 77.08),
-    ("MLP decoder", "eva_result_b0_mlp", 83.33),
+    ("full model (flagship 30k)", "eva_result_b0_r4", 91.41),
+    ("w/o depth supervision (30k)", "eva_result_b0_nodepth_r4", 77.08),
+    ("MLP decoder (30k)", "eva_result_b0_mlp_r4", 83.33),
     ("w/o speed limit (flagship, eval-only)", "eva_result_b0_nosl", 81.51),
-    ("flagship 30k (for reference)", "eva_result_b0_r4", 91.41),
+]
+
+LEGACY_ROWS = [
+    ("full model (12k, round-3)", "eva_result_b0_base12k", 91.41),
+    ("w/o depth supervision (12k, round-3)", "eva_result_b0_nodepth", 77.08),
+    ("MLP decoder (12k, round-3)", "eva_result_b0_mlp", 83.33),
 ]
 
 
@@ -32,16 +40,26 @@ def read_mean(d):
         return {k: float(v) for k, v in next(csv.DictReader(f)).items()}
 
 
-def main():
-    print(f"| configuration | TSR | CR | TR | paper TSR |")
-    print(f"|---|---|---|---|---|")
-    for label, d, paper in ROWS:
+def emit(rows):
+    for label, d, paper in rows:
         m = read_mean(d)
         if m is None:
             print(f"| {label} | — | — | — | {paper} | (missing: {d})")
             continue
         print(f"| {label} | {m['TSR']:.2f} | {m['CR']:.2f} | "
               f"{m['TR']:.2f} | {paper} |")
+
+
+def main():
+    print("| configuration | TSR | CR | TR | paper TSR |")
+    print("|---|---|---|---|---|")
+    emit(ROWS)
+    print()
+    print("12k-budget round-3 rows (under-trained; kept for the record):")
+    print()
+    print("| configuration | TSR | CR | TR | paper TSR |")
+    print("|---|---|---|---|---|")
+    emit(LEGACY_ROWS)
 
 
 if __name__ == "__main__":
