@@ -247,3 +247,49 @@ def test_env_chunking_exact_banded_no_cull():
     for f in ("rgb", "depth", "sem"):
         np.testing.assert_array_equal(np.asarray(a[f]), np.asarray(b[f]),
                                       err_msg=f"banded chunking diverges: {f}")
+
+
+def test_env_unroll_and_box_switch_are_exact():
+    """The statically-unrolled env loop (round-4 default) and every
+    occupancy-switch shape must render bit-identically to the fori_loop /
+    nested-cond forms — extra candidates are invalid no-ops (run_k)."""
+    st = sample_envs(4)
+    base = render_cameras_pallas(st.ego.x, st.ego.y, st.ego.yaw, st.scene,
+                                 SIM, n_boxes=3, interpret=True,
+                                 env_chunk=2, unroll_envs=False,
+                                 box_switch="nested", skip_sky=True)
+    for kw in ({"unroll_envs": True},
+               {"box_switch": "single"},
+               {"box_switch": "always"},
+               {"skip_sky": False},
+               {"unroll_envs": True, "box_switch": "always",
+                "skip_sky": False}):
+        out = render_cameras_pallas(
+            st.ego.x, st.ego.y, st.ego.yaw, st.scene, SIM, n_boxes=3,
+            interpret=True, env_chunk=2,
+            **{"unroll_envs": False, "box_switch": "nested",
+               "skip_sky": True, **kw})
+        for f in ("rgb", "depth", "sem"):
+            np.testing.assert_array_equal(
+                np.asarray(base[f]), np.asarray(out[f]),
+                err_msg=f"{kw} diverges on {f}")
+
+
+def test_raw_out_word_roundtrip():
+    """raw_out=True returns the packed int32 word plane (the native
+    consumption format, 8 B/px with depth); unpack_rgb_word must decode it
+    to exactly the rgb/sem the default path returns."""
+    from e2e_parking_carla_tpu.ops.render import unpack_rgb_word
+
+    st = sample_envs(2)
+    full = render_cameras_pallas(st.ego.x, st.ego.y, st.ego.yaw, st.scene,
+                                 SIM, n_boxes=3, interpret=True)
+    raw = render_cameras_pallas(st.ego.x, st.ego.y, st.ego.yaw, st.scene,
+                                SIM, n_boxes=3, interpret=True, raw_out=True)
+    assert set(raw) == {"word", "depth"}
+    rgb, sem = unpack_rgb_word(raw["word"])
+    np.testing.assert_array_equal(np.asarray(sem), np.asarray(full["sem"]))
+    np.testing.assert_array_equal(np.asarray(raw["depth"]),
+                                  np.asarray(full["depth"]))
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(full["rgb"]),
+                               atol=1e-6)
