@@ -139,7 +139,7 @@ def _line_intensity(px, py):
 def _make_kernel(sim_cfg: SimConfig, n_boxes: int, n_bands: int = 1,
                  packed: bool = True, env_chunk: int = 1,
                  box_switch: str = "nested", skip_sky: bool = True,
-                 unroll_envs: bool = False):
+                 unroll_envs: bool = False, debug_zero: tuple = ()):
     """n_bands > 1: each (camera, sector) tile is split into `n_bands`
     elevation bands (contiguous tile-row blocks); kmax_ref then holds a
     packed 4-bit per-band candidate count and skyband_ref a static all-sky
@@ -178,11 +178,7 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, n_bands: int = 1,
         oy_t = org_ref[2 * t + 1]
         sky_band_flag = skyband_ref[tb]
 
-        def env_body(i, _):
-            _render_one(i)
-            return 0
-
-        def _render_one(i):
+        def _render_one(i, ground_on):
             # per-env SMEM operands are blocked by the env grid axis (window
             # = env_chunk rows): a full (E, .) SMEM window overflows the
             # 1 MB SMEM at fleet sizes (E=1024 boxes alone is 2 MB)
@@ -317,32 +313,27 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, n_bands: int = 1,
                         k_here >= kk, run_k(kk), build(kk - 1), None)
                 t_box, vr, vg, vb = build(n_boxes)(None)
 
-            # ---- ground shading (skipped on statically all-sky bands) ----
-            def run_ground(_):
+            # ---- ground shading (skipped on statically all-sky bands;
+            # `ground_on` is a PYTHON bool — the sky_band_flag cond is
+            # hoisted to ONE pl.when pair per grid cell, not one lax.cond
+            # per env in the chunk) ----
+            if ground_on and "ground" not in debug_zero:
                 pgx = owx + tg * dwx
                 pgy = owy + tg * dwy
-                line = _line_intensity(pgx, pgy)
+                if "lines" in debug_zero:
+                    line = jnp.zeros(shape, jnp.float32)
+                else:
+                    line = _line_intensity(pgx, pgy)
                 in_t = (jnp.abs(pgx - tgx) <= sl) & (jnp.abs(pgy - tgy) <= sw)
                 gray = 0.32 + 0.55 * line
-                # the target mask is carried as f32 (1.0/0.0): Mosaic cannot
-                # legalize an scf.if whose results include an i1 vector
-                return (jnp.where(in_t, gray * 0.4 + 0.55, gray),
-                        jnp.where(in_t, gray * 0.4, gray),
-                        jnp.where(in_t, gray * 0.4, gray),
-                        in_t.astype(jnp.float32))
-
-            def no_ground(_):
-                z = jnp.zeros(shape, jnp.float32)
-                return z, z, z, z
-
-            if skip_sky:
-                gr, gg, gb, in_target_f = jax.lax.cond(
-                    sky_band_flag == 0, run_ground, no_ground, None)
+                gr = jnp.where(in_t, gray * 0.4 + 0.55, gray)
+                gg = jnp.where(in_t, gray * 0.4, gray)
+                gb = jnp.where(in_t, gray * 0.4, gray)
+                in_target = in_t
             else:
-                # branch-free: all-sky bands waste (free) vector ops but
-                # skip a cond; composite overwrites ground with sky there
-                gr, gg, gb, in_target_f = run_ground(None)
-            in_target = in_target_f > 0.5
+                z = jnp.zeros(shape, jnp.float32)
+                gr, gg, gb = z, z, z
+                in_target = jnp.zeros(shape, jnp.bool_)
 
             # ---- sky (elevation factor is a static table) ----
             elev = elev_ref[:]
@@ -352,6 +343,8 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, n_bands: int = 1,
             sk_r = hor_r * (1 - elev) + sky_r * elev
             sk_g = hor_g * (1 - elev) + sky_g * elev
             sk_b = hor_b * (1 - elev) + sky_b * elev
+            if "sky" in debug_zero:
+                sk_r = sk_g = sk_b = jnp.zeros(shape, jnp.float32)
 
             # ---- composite ----
             box_front = t_box < tg
@@ -363,7 +356,14 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, n_bands: int = 1,
             out_b = jnp.where(is_sky, sk_b, jnp.where(box_front, vb, gb))
             si = jnp.where(
                 is_sky, 0, jnp.where(box_front, 1, jnp.where(in_target, 2, 0)))
-            if packed:
+            if packed and "pack" in debug_zero:
+                # attribution mode: keep every upstream value live (so
+                # nothing above gets DCE'd) but skip the quantize/shift
+                # chain — the delta to the default measures the pack cost
+                rgbs_ref, depth_ref = out_refs
+                rgbs_ref[i] = (out_r + out_g + out_b).astype(jnp.int32)
+                depth_ref[i] = jnp.minimum(t_hit, SKY)
+            elif packed:
                 # pack RGB (8-bit quantized, the reference's PNG precision)
                 # + sem into ONE int32 plane: 8 B/px of HBM writes (with
                 # depth) instead of the 20 B/px of five f32 planes — at the
@@ -387,15 +387,37 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, n_bands: int = 1,
                 sem_ref[i] = si
                 depth_ref[i] = jnp.minimum(t_hit, SKY)
 
-        if env_chunk == 1:
-            _render_one(0)
-        elif unroll_envs:
-            # static unroll: Mosaic can software-pipeline the scalar setup
-            # and window logic of env i+1 behind the vector work of env i
-            for i in range(env_chunk):
-                _render_one(i)
+        def run_all(ground_on):
+            if env_chunk == 1:
+                _render_one(0, ground_on)
+            elif unroll_envs:
+                # static unroll: Mosaic can software-pipeline the scalar
+                # setup and window logic of env i+1 behind the vector work
+                # of env i
+                for i in range(env_chunk):
+                    _render_one(i, ground_on)
+            else:
+                def env_body(i, _):
+                    _render_one(i, ground_on)
+                    return 0
+                jax.lax.fori_loop(0, env_chunk, env_body, 0)
+
+        if skip_sky:
+            # sky_band_flag is constant over the cell: ONE predicated pair
+            # per grid cell replaces the per-env ground lax.cond (at
+            # env_chunk 32 that is 32 conds -> 1; bit-exact — same math,
+            # the flag==1 branch produced zeros for every env before too)
+            @pl.when(sky_band_flag == 0)
+            def _():
+                run_all(True)
+
+            @pl.when(sky_band_flag != 0)
+            def _():
+                run_all(False)
         else:
-            jax.lax.fori_loop(0, env_chunk, env_body, 0)
+            # branch-free: all-sky bands waste (free) vector ops but skip
+            # the predication; composite overwrites ground with sky there
+            run_all(True)
 
     return kernel
 
@@ -581,7 +603,8 @@ def _cull_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
                                               "n_sectors", "bands", "packed",
                                               "cull", "env_chunk", "box_switch",
                                               "skip_sky", "unroll_envs",
-                                              "raw_out", "debug_no_boxes"))
+                                              "raw_out", "debug_no_boxes",
+                                              "debug_zero"))
 def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
                           weather=None, n_boxes: int = 3,
                           interpret: bool = False, n_sectors: int = 4,
@@ -589,7 +612,8 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
                           cull: str = "pallas", env_chunk: int = 32,
                           box_switch: str = "nested", skip_sky: bool = True,
                           unroll_envs: bool = True, raw_out: bool = False,
-                          debug_no_boxes: bool = False):
+                          debug_no_boxes: bool = False,
+                          debug_zero: tuple = ()):
     """Batched fused render. ego_* are (E,); scene is a batched SceneState.
 
     n_boxes: candidate boxes kept per (camera, sector) tile — the culling
@@ -782,7 +806,8 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
         EC -= 1
 
     kernel = _make_kernel(sim_cfg, n_boxes, n_bands, packed, EC,
-                          box_switch, skip_sky, unroll_envs)
+                          box_switch, skip_sky, unroll_envs,
+                          tuple(debug_zero))
     plane_spec = pl.BlockSpec((band_rows, LANES), lambda t, e: (t, 0),
                               memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((EC, band_rows, LANES), lambda t, e: (e, t, 0),

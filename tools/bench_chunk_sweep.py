@@ -70,6 +70,9 @@ def main():
     import sys
     if len(sys.argv) > 1:
         configs = [json.loads(a) for a in sys.argv[1:]]
+        for kw in configs:  # JSON lists -> hashable static args
+            if "debug_zero" in kw:
+                kw["debug_zero"] = tuple(kw["debug_zero"])
     else:
         configs = [
             {"env_chunk": 1},                 # round-3 shipped shape
