@@ -88,6 +88,12 @@ def parse_args(argv=None):
                         "noise-injected expert collection; 0 disables)")
     p.add_argument("--dart_accel", type=float, default=None,
                    help="override TrainConfig.dart_accel_sigma")
+    p.add_argument("--goal_boost", type=float, default=None,
+                   help="override TrainConfig.goal_boost (sampling weight "
+                        "of the last goal_window frames of each episode; "
+                        "terminal-precision lever, 1.0 disables)")
+    p.add_argument("--goal_window", type=int, default=None,
+                   help="override TrainConfig.goal_window")
     return p.parse_args(argv)
 
 
@@ -105,6 +111,8 @@ _TRAIN_OVERRIDES = (
     ("ema_decay", "ema_decay"),
     ("dart_steer", "dart_steer_sigma"),
     ("dart_accel", "dart_accel_sigma"),
+    ("goal_boost", "goal_boost"),
+    ("goal_window", "goal_window"),
 )
 
 

@@ -358,6 +358,17 @@ class TrainConfig:
     # success gates (|v|<0.05, 0.04 m centering) stay reachable
     dart_trim_scale: float = 0.3
 
+    # Goal-proximity sample weighting (terminal-precision lever): multiply
+    # the frame-sampling weight of the last `goal_window` 10 Hz frames of
+    # each episode — the trim/hold approach into the slot, where the parked
+    # pose error (APE/AOE) is decided — by `goal_boost`. Uniform sampling
+    # gives these frames <10% of the batch while the protocol scores the
+    # final pose to centimeters (paper Table I: APE 0.30 m); upweighting
+    # them targets terminal precision without touching the episode mix
+    # (data/rollout.py:make_batch). 1.0 disables.
+    goal_boost: float = 1.0
+    goal_window: int = 20
+
     # Cosine-schedule floor as a fraction of the peak LR (reference
     # CosineAnnealingLR decays to 0, pl_trainer.py:116-121; a small floor
     # keeps the late-schedule iterates moving so the EMA/probe-soup

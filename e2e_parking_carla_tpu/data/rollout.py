@@ -217,9 +217,34 @@ def mirror_batch(batch: dict, mask: jnp.ndarray) -> dict:
     return out
 
 
+def sample_frame_indices(buffer: EpisodeBuffer, key: jax.Array,
+                         batch_size: int, goal_boost: float = 1.0,
+                         goal_window: int = 20):
+    """Draw (episode, frame) training indices over the valid mask.
+
+    Uniform over valid frames by default; with goal_boost != 1, the last
+    `goal_window` valid frames of each episode (the trim/hold approach into
+    the slot, where APE/AOE are decided) sample with weight `goal_boost`.
+    """
+    E, T = buffer.valid.shape
+    p = buffer.valid.astype(jnp.float32)  # (E, T)
+    if goal_boost != 1.0:
+        # index of each episode's last valid frame (= end - future_frames -
+        # 1, the frame closest to the parked pose that still has labels);
+        # episodes with no valid frames get argmax=0 and weight*0 anyway
+        last = T - 1 - jnp.argmax(buffer.valid[:, ::-1], axis=1)  # (E,)
+        near_goal = jnp.arange(T)[None, :] > last[:, None] - goal_window
+        p = p * jnp.where(near_goal, goal_boost, 1.0)
+    p = p.reshape(-1)
+    p = p / jnp.maximum(p.sum(), 1.0)
+    flat = jax.random.choice(key, E * T, (batch_size,), replace=True, p=p)
+    return flat // T, flat % T
+
+
 def make_batch(buffer: EpisodeBuffer, key: jax.Array, batch_size: int,
                model_cfg: ModelConfig, sim_cfg: SimConfig,
-               mirror_aug: bool = False):
+               mirror_aug: bool = False, goal_boost: float = 1.0,
+               goal_window: int = 20):
     """Sample a training batch and render it. Returns the training dict.
 
     Jittable end-to-end: index sampling, state gathers, camera + BEV
@@ -228,16 +253,18 @@ def make_batch(buffer: EpisodeBuffer, key: jax.Array, batch_size: int,
 
     mirror_aug: reflect a random half of the batch across the ego's
     longitudinal axis (TrainConfig.mirror_aug).
+
+    goal_boost/goal_window: terminal-precision lever
+    (TrainConfig.goal_boost) — the last `goal_window` valid frames of each
+    episode (the trim/hold approach into the slot) sample with weight
+    `goal_boost` instead of 1.
     """
-    E, T = buffer.valid.shape
     if mirror_aug:
         k_idx, k_mirror = jax.random.split(key, 2)
     else:
         k_idx, = jax.random.split(key, 1)
-    p = buffer.valid.reshape(-1).astype(jnp.float32)
-    p = p / jnp.maximum(p.sum(), 1.0)
-    flat = jax.random.choice(k_idx, E * T, (batch_size,), replace=True, p=p)
-    e_idx, t_idx = flat // T, flat % T
+    e_idx, t_idx = sample_frame_indices(buffer, k_idx, batch_size,
+                                        goal_boost, goal_window)
 
     def gather(a):
         return a[e_idx, t_idx]

@@ -67,15 +67,14 @@ class ClosedLoopEvaluator:
 
             from e2e_parking_carla_tpu.parallel.mesh import DATA_AXIS
 
-            # check_vma off: scan inits built from constants inside the body
-            # are unvarying while their carries vary over "data"; the
-            # varying-axis checker rejects that pairing even though the
-            # program is correct (per-env independent, no collectives)
+            # check_vma ON (VERDICT-4 item 9): the rollout pcasts its
+            # constant-built scan init (AgentState.init) to varying over
+            # the data axis, so the varying-axis checker validates the
+            # whole per-env program instead of being disabled
             rollout = shard_map(
                 rollout, mesh=mesh,
                 in_specs=(P(), P(DATA_AXIS)),
-                out_specs=(P(DATA_AXIS), P(None, DATA_AXIS)),
-                check_vma=False)
+                out_specs=(P(DATA_AXIS), P(None, DATA_AXIS)))
         self._rollout = jax.jit(rollout)
 
     def set_variables(self, variables):
@@ -149,6 +148,14 @@ class ClosedLoopEvaluator:
 
         def rollout(variables, env):
             agent = AgentState.init((env.ego.x.shape[0],))
+            if self.mesh is not None:
+                # the scan carry must have a consistent varying-axis set:
+                # env arrives varying over the data axis, so the
+                # constant-built agent init is explicitly cast to match
+                from e2e_parking_carla_tpu.parallel.mesh import DATA_AXIS
+                agent = jax.tree.map(
+                    lambda x: jax.lax.pcast(x, DATA_AXIS, to="varying"),
+                    agent)
             (final, _), traj = jax.lax.scan(
                 lambda c, t: policy_step(variables, c, t),
                 (env, agent), jnp.arange(n_policy_steps))

@@ -84,6 +84,10 @@ class ControlDecoder(nn.Module):
         L = cfg.tf_de_tgt_dim - 1
         tokens = jnp.concatenate(
             [prefix, jnp.full((B, L - L0), cfg.pad_token, jnp.int32)], axis=1)
+        # inherit `memory`'s varying axes (shard_map + check_vma: the scan
+        # body output varies over the data axis via memory, so a
+        # constant-built carry init is rejected; memory is finite, *0 == 0)
+        tokens = tokens + (memory[:, 0, 0] * 0).astype(jnp.int32)[:, None]
 
         def step(tokens, i):
             logits = self._run(tokens, memory, train=False)  # (B, L, V)
@@ -120,6 +124,12 @@ class ControlDecoder(nn.Module):
 
         tokens_a = pad_to(prefix)
         tokens_b = pad_to(mirror_lib.mirror_sequence(prefix))
+        # inherit the memories' varying axes (see decode(); same check_vma
+        # constraint on the scan carry init)
+        vz = (memory_a[:, 0, 0] * 0 + memory_b[:, 0, 0] * 0).astype(
+            jnp.int32)[:, None]
+        tokens_a = tokens_a + vz
+        tokens_b = tokens_b + vz
 
         def step(carry, i):
             ta, tb = carry

@@ -138,7 +138,7 @@ def _line_intensity(px, py):
 
 def _make_kernel(sim_cfg: SimConfig, n_boxes: int, n_bands: int = 1,
                  packed: bool = True, env_chunk: int = 1,
-                 box_switch: str = "nested", skip_sky: bool = True,
+                 box_switch: str = "single", skip_sky: bool = True,
                  unroll_envs: bool = False, debug_zero: tuple = ()):
     """n_bands > 1: each (camera, sector) tile is split into `n_bands`
     elevation bands (contiguous tile-row blocks); kmax_ref then holds a
@@ -359,9 +359,12 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, n_bands: int = 1,
             if packed and "pack" in debug_zero:
                 # attribution mode: keep every upstream value live (so
                 # nothing above gets DCE'd) but skip the quantize/shift
-                # chain — the delta to the default measures the pack cost
+                # chain — the delta to the default measures the pack cost.
+                # `+ si` keeps the semantic-channel select chain live too;
+                # without it the si where-chain is DCE'd and the measured
+                # "pack cost" silently includes the composite.
                 rgbs_ref, depth_ref = out_refs
-                rgbs_ref[i] = (out_r + out_g + out_b).astype(jnp.int32)
+                rgbs_ref[i] = (out_r + out_g + out_b).astype(jnp.int32) + si
                 depth_ref[i] = jnp.minimum(t_hit, SKY)
             elif packed:
                 # pack RGB (8-bit quantized, the reference's PNG precision)
@@ -599,21 +602,33 @@ def _cull_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
     return top_idx, sel_d2
 
 
+def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
+                          weather=None, **kw):
+    """Non-jitted entry: coerces `debug_zero` to a tuple BEFORE the jit
+    boundary so callers holding a list (e.g. straight from json.loads)
+    don't hit an unhashable-static-arg error, then dispatches to the
+    jitted implementation. See _render_cameras_pallas for the contract."""
+    if "debug_zero" in kw:
+        kw["debug_zero"] = tuple(kw["debug_zero"])
+    return _render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg,
+                                  weather, **kw)
+
+
 @functools.partial(jax.jit, static_argnames=("sim_cfg", "n_boxes", "interpret",
                                               "n_sectors", "bands", "packed",
                                               "cull", "env_chunk", "box_switch",
                                               "skip_sky", "unroll_envs",
                                               "raw_out", "debug_no_boxes",
                                               "debug_zero"))
-def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
-                          weather=None, n_boxes: int = 3,
-                          interpret: bool = False, n_sectors: int = 4,
-                          bands: int = 2, packed: bool = True,
-                          cull: str = "pallas", env_chunk: int = 32,
-                          box_switch: str = "nested", skip_sky: bool = True,
-                          unroll_envs: bool = True, raw_out: bool = False,
-                          debug_no_boxes: bool = False,
-                          debug_zero: tuple = ()):
+def _render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
+                           weather=None, n_boxes: int = 3,
+                           interpret: bool = False, n_sectors: int = 4,
+                           bands: int = 2, packed: bool = True,
+                           cull: str = "pallas", env_chunk: int = 32,
+                           box_switch: str = "single", skip_sky: bool = True,
+                           unroll_envs: bool = True, raw_out: bool = False,
+                           debug_no_boxes: bool = False,
+                           debug_zero: tuple = ()):
     """Batched fused render. ego_* are (E,); scene is a batched SceneState.
 
     n_boxes: candidate boxes kept per (camera, sector) tile — the culling
@@ -629,10 +644,14 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
     amortizes the per-grid-cell fixed cost that dominates at chunk 1 (see
     _make_kernel). Bit-exact for any value.
 
-    Round-4 defaults (v5e sweep, tools/bench_chunk_sweep.py + BENCH.md):
-    env_chunk 32 + 4 sectors + statically-unrolled env loop, ~50k env
-    steps/s every-frame vs 37.8k at the round-3 shape (chunk 1, 8
-    sectors). Wider sectors keep the same K=3 nearest boxes over 2x the
+    Round-5 defaults (v5e sweep, tools/bench_chunk_sweep.py + BENCH.md):
+    env_chunk 32 + 4 sectors + statically-unrolled env loop +
+    box_switch="single", ~50k env steps/s every-frame vs 37.8k at the
+    round-3 shape (chunk 1, 8 sectors). box_switch="nested" pathologizes
+    once the per-cell ground pl.when hoist landed (32 unrolled envs x 3
+    nested conds each blows Mosaic's pipeline: 26.3k vs 49.5k measured,
+    bench_floor_r4.log) — "single" keeps ONE cond per env and is
+    bit-exact (tests/test_render_modes.py). Wider sectors keep the same K=3 nearest boxes over 2x the
     azimuth: LOD pixel delta rises to ~1.4% at start poses (gate bound
     2%); K=2 was measured OVER budget (2.2% at start poses) and rejected.
     bf16 kernel math was measured OFF the table on this chip: a

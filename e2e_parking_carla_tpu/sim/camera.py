@@ -280,11 +280,16 @@ def render_cameras(ego_x, ego_y, ego_yaw, scene: SceneState,
         face_best = jnp.where(hit, face, face_best)
         return (t_best, id_best, face_best), None
 
-    N, H, W = d_world.shape[:3]
+    # Derive the carry init from d_world (`*0` keeps the data dependence)
+    # instead of building constants: under shard_map with the varying-axis
+    # checker on, a constant init is "unvarying" while the body output
+    # varies over the data axis, and the scan is rejected. The multiply
+    # fuses away; d_world is finite by construction so x*0 == 0 exactly.
+    zero = d_world[..., 0] * 0  # (N, H, W), same varying axes as the rays
     init = (
-        jnp.full((N, H, W), SKY_DEPTH, jnp.float32),
-        jnp.full((N, H, W), -1, jnp.int32),
-        jnp.zeros((N, H, W), jnp.int32),
+        zero + SKY_DEPTH,
+        zero.astype(jnp.int32) - 1,
+        zero.astype(jnp.int32),
     )
     (t_box, box_id, box_face), _ = jax.lax.scan(
         box_step,

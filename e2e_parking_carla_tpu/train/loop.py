@@ -107,9 +107,13 @@ def train_loop(
         _make_collect_dagger(n_dagger_late)
         if n_dagger and n_dagger_late != n_dagger else collect_dagger)
     mirror_aug = bool(getattr(cfg.train, "mirror_aug", False))
+    batch_kw = dict(
+        mirror_aug=mirror_aug,
+        goal_boost=float(getattr(cfg.train, "goal_boost", 1.0)),
+        goal_window=int(getattr(cfg.train, "goal_window", 20)))
     batch_fn = jax.jit(
         lambda buf, key: make_batch(buf, key, cfg.train.batch_size, cfg.model,
-                                    cfg.sim, mirror_aug=mirror_aug))
+                                    cfg.sim, **batch_kw))
 
     def log(msg):
         if log_fn:
@@ -159,7 +163,7 @@ def train_loop(
         def body(carry, k_i):
             s = carry
             batch = make_batch(buf, k_i, cfg.train.batch_size, cfg.model,
-                               cfg.sim, mirror_aug=mirror_aug)
+                               cfg.sim, **batch_kw)
             s, metrics = inner_step(s, batch, k_train)
             return s, metrics["train_loss"]
 

@@ -81,6 +81,34 @@ def test_make_batch(buffer):
     np.testing.assert_array_equal(frames[..., 2] > 100, rev.astype(bool))
 
 
+def test_goal_boost_sampling(buffer):
+    """goal_boost upweights the last goal_window valid frames of each
+    episode by exactly the configured factor (terminal-precision lever,
+    TrainConfig.goal_boost)."""
+    from e2e_parking_carla_tpu.data.rollout import sample_frame_indices
+
+    valid = np.asarray(buffer.valid)
+    last = valid.shape[1] - 1 - np.argmax(valid[:, ::-1], axis=1)
+    window = 20
+    n = 20000
+    e_u, t_u = jax.jit(
+        lambda b, k: sample_frame_indices(b, k, n)
+    )(buffer, jax.random.PRNGKey(3))
+    e_b, t_b = jax.jit(
+        lambda b, k: sample_frame_indices(b, k, n, goal_boost=4.0,
+                                          goal_window=window)
+    )(buffer, jax.random.PRNGKey(3))
+    for e_idx, t_idx in ((e_u, t_u), (e_b, t_b)):
+        e_idx, t_idx = np.asarray(e_idx), np.asarray(t_idx)
+        assert valid[e_idx, t_idx].all()  # never samples invalid frames
+    near_u = (np.asarray(t_u) > last[np.asarray(e_u)] - window).mean()
+    near_b = (np.asarray(t_b) > last[np.asarray(e_b)] - window).mean()
+    # the boosted near-goal odds must be ~4x the uniform odds
+    odds = lambda f: f / (1.0 - f)
+    ratio = odds(near_b) / odds(near_u)
+    assert 3.0 < ratio < 5.3, (near_u, near_b, ratio)
+
+
 @pytest.fixture(scope="module")
 def model_state(buffer):
     model = ParkingModel(TINY_MODEL, TINY_SIM)

@@ -99,7 +99,7 @@ def main():
 
     # no slot lines: zero-out the analytic line marking
     render_mod._line_intensity = lambda px, py: jnp.zeros_like(px)
-    render_mod.render_cameras_pallas._clear_cache()
+    render_mod._render_cameras_pallas._clear_cache()
     try:
         carry, run = build(lambda s, cfg: full(s, cfg))
         us, sps = timeit(run, carry)
@@ -108,7 +108,7 @@ def main():
               flush=True)
     finally:
         render_mod._line_intensity = orig_line
-        render_mod.render_cameras_pallas._clear_cache()
+        render_mod._render_cameras_pallas._clear_cache()
 
     base = results["full (default)"][0]
     print("\nattribution (vs full):")

@@ -47,9 +47,16 @@ def main():
     images = rng.normal(0, 1, (B, 4, H, H, 3)).astype(np.float32)
     ego_motion = rng.normal(0, 1, (B, 1, 3)).astype(np.float32)
     target_point = np.array([[5.0, -2.0, 90.0]], np.float32)
-    gt = np.array(tokens.build_sequence(
-        jnp.asarray(rng.randint(0, 200, (B, 4, 3)), jnp.int32),
-        cfg.tf_de_tgt_dim))
+    # numpy (NOT jnp) so the jax backend — and with it the TPU hold — only
+    # initializes AFTER the minutes-long torch CPU forward: on this
+    # one-core box a process that holds the tunnel while pegging the CPU
+    # can wedge the TPU session (STATUS.md "tunnel incidents")
+    flat = rng.randint(0, 200, (B, 12)).astype(np.int32)
+    n_pad = cfg.tf_de_tgt_dim - 14
+    gt = np.concatenate(
+        [np.full((B, 1), tokens.BOS, np.int32), flat,
+         np.full((B, 1), tokens.EOS, np.int32),
+         np.full((B, n_pad), tokens.PAD, np.int32)], axis=1)
 
     print("torch forward (cpu)...", flush=True)
     with torch.no_grad():
