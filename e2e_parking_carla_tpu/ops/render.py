@@ -71,6 +71,13 @@ def _static_tables(sim_cfg: SimConfig, n_sectors: int = SECTORS):
     # scalar origin math)
     org = tab["origins"]
     planes = {k: sectorize(tab[k]) for k in ("dx", "dy", "tg", "elev", "zn", "zf")}
+    # sky gradient as two fma planes: sky = hor*(1-e) + sky_rgb*e with
+    # hor = sky_rgb*0.8 + 0.18 collapses to sky_rgb*(0.8 + 0.2e) +
+    # 0.18*(1-e) — one fma per pixel-channel against static planes instead
+    # of the 4-op blend. The pure renderer (sim/camera.py) computes the
+    # SAME factored expression with the same f32 ops, so bit-parity holds.
+    planes["elev_a"] = sectorize(0.8 + 0.2 * tab["elev"])
+    planes["elev_b"] = sectorize(0.18 * (1.0 - tab["elev"]))
 
     # exact horizontal azimuth span of each sector (vehicle frame, radians):
     # circular center + max deviation over the sector's pixels
@@ -162,7 +169,7 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, n_bands: int = 1,
     eps = 1e-8
 
     def kernel(env_ref, boxes_ref, pal_ref, kmax_ref, skyband_ref, org_ref,
-               dx_ref, dy_ref, tg_ref, elev_ref, zn_ref, zf_ref,
+               dx_ref, dy_ref, tg_ref, ea_ref, eb_ref, zn_ref, zf_ref,
                *out_refs):
         tb = pl.program_id(0)
         t = tb // n_bands if n_bands > 1 else tb
@@ -335,14 +342,12 @@ def _make_kernel(sim_cfg: SimConfig, n_boxes: int, n_bands: int = 1,
                 gr, gg, gb = z, z, z
                 in_target = jnp.zeros(shape, jnp.bool_)
 
-            # ---- sky (elevation factor is a static table) ----
-            elev = elev_ref[:]
-            hor_r = sky_r * 0.8 + 0.18
-            hor_g = sky_g * 0.8 + 0.18
-            hor_b = sky_b * 0.8 + 0.18
-            sk_r = hor_r * (1 - elev) + sky_r * elev
-            sk_g = hor_g * (1 - elev) + sky_g * elev
-            sk_b = hor_b * (1 - elev) + sky_b * elev
+            # ---- sky (two static fma planes, see _static_tables) ----
+            ea = ea_ref[:]
+            eb = eb_ref[:]
+            sk_r = sky_r * ea + eb
+            sk_g = sky_g * ea + eb
+            sk_b = sky_b * ea + eb
             if "sky" in debug_zero:
                 sk_r = sk_g = sk_b = jnp.zeros(shape, jnp.float32)
 
@@ -623,7 +628,7 @@ def render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
 def _render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
                            weather=None, n_boxes: int = 3,
                            interpret: bool = False, n_sectors: int = 4,
-                           bands: int = 2, packed: bool = True,
+                           bands: int = 4, packed: bool = True,
                            cull: str = "pallas", env_chunk: int = 32,
                            box_switch: str = "single", skip_sky: bool = True,
                            unroll_envs: bool = True, raw_out: bool = False,
@@ -645,13 +650,16 @@ def _render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
     _make_kernel). Bit-exact for any value.
 
     Round-5 defaults (v5e sweep, tools/bench_chunk_sweep.py + BENCH.md):
-    env_chunk 32 + 4 sectors + statically-unrolled env loop +
-    box_switch="single", ~50k env steps/s every-frame vs 37.8k at the
-    round-3 shape (chunk 1, 8 sectors). box_switch="nested" pathologizes
-    once the per-cell ground pl.when hoist landed (32 unrolled envs x 3
-    nested conds each blows Mosaic's pipeline: 26.3k vs 49.5k measured,
-    bench_floor_r4.log) — "single" keeps ONE cond per env and is
-    bit-exact (tests/test_render_modes.py). Wider sectors keep the same K=3 nearest boxes over 2x the
+    env_chunk 32 + 4 sectors + 4 elevation bands + statically-unrolled env
+    loop + box_switch="single" + fma sky planes, 55.5k env steps/s
+    every-frame vs 37.8k at the round-3 shape (chunk 1, 8 sectors, bands
+    2). box_switch="nested" pathologizes once the per-cell ground pl.when
+    hoist landed (32 unrolled envs x 3 nested conds each blows Mosaic's
+    pipeline: 26.3k vs 49.5k measured, bench_floor_r4.log) — "single"
+    keeps ONE cond per env and is bit-exact. bands=4 (finer static box
+    occupancy + more all-sky bands skipping ground/lines work) measured
+    +10% over bands=2 at these defaults; bands=8 and 8-sector combos
+    regress (grid-cell overhead). Wider sectors keep the same K=3 nearest boxes over 2x the
     azimuth: LOD pixel delta rises to ~1.4% at start poses (gate bound
     2%); K=2 was measured OVER budget (2.2% at start poses) and rejected.
     bf16 kernel math was measured OFF the table on this chip: a
@@ -679,7 +687,7 @@ def _render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
     planes_np, az_center, az_half, origins, band_tabs = _static_tables(
         sim_cfg, n_sectors)
     planes = tuple(jnp.asarray(planes_np[k])
-                   for k in ("dx", "dy", "tg", "elev", "zn", "zf"))
+                   for k in ("dx", "dy", "tg", "elev_a", "elev_b", "zn", "zf"))
     # per-tile (ox, oy) vehicle-frame camera origin, flat for SMEM (camera
     # count derived from the rig so it tracks SimConfig)
     cam_of_tile = np.repeat(np.arange(origins.shape[0]), n_sectors)
@@ -861,7 +869,7 @@ def _render_cameras_pallas(ego_x, ego_y, ego_yaw, scene, sim_cfg: SimConfig,
                          memory_space=pltpu.SMEM),  # per-tile/band counts
             pl.BlockSpec(memory_space=pltpu.SMEM),  # static all-sky band flag
             pl.BlockSpec(memory_space=pltpu.SMEM),  # per-tile camera origins
-            *([plane_spec] * 6),
+            *([plane_spec] * 7),
         ],
         out_specs=(out_spec,) * len(out_shape),
         out_shape=out_shape,

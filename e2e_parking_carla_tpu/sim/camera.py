@@ -330,9 +330,12 @@ def render_cameras(ego_x, ego_y, ego_yaw, scene: SceneState,
     # because the rig only yaws about z)
     weather_row = jnp.asarray(WEATHER_TABLE)[jnp.asarray(weather) % len(WEATHER_TABLE)]
     brightness, sky_rgb = weather_row[0], weather_row[1:]
+    # factored fma form — matches ops/render.py's elev_a/elev_b static
+    # planes bit-for-bit (algebraically = horizon*(1-e) + sky_rgb*e with
+    # horizon = sky_rgb*0.8 + 0.18, but the PALLAS kernel evaluates this
+    # factored expression, so the pure renderer must round identically)
     elev = jnp.asarray(tab["elev"])[..., None]
-    horizon = sky_rgb * 0.8 + 0.18
-    sky = horizon * (1 - elev) + sky_rgb * elev
+    sky = sky_rgb * (0.8 + 0.2 * elev) + 0.18 * (1.0 - elev)
 
     rgb = jnp.where(
         is_sky[..., None], sky,
